@@ -1,0 +1,163 @@
+"""Canonical graph representation: an edge DataFrame + derived views.
+
+Reference mapping: HOOVER stores every edge on *both* endpoints inside
+per-vertex AVL trees (``src/hoover.cpp:487-492``,
+``inc/hvr_irregular_matrix.h:14-20``). Here the single source of truth
+is ``edges(src: long, dst: long)``; symmetrization / canonicalization
+are cheap derived DataFrames, and the per-partition CSR block (the
+reference's ``linearize``, ``src/hvr_irregular_matrix.cpp:67-70``) is
+built with ``groupBy(part).applyInPandas`` when a vectorized kernel
+wants array-form adjacency.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.LongType(), False),
+        T.StructField("dst", T.LongType(), False),
+    ]
+)
+
+
+@dataclass
+class Graph:
+    """A graph over 64-bit vertex ids, backed by an edge DataFrame.
+
+    ``edges`` is treated as a *directed* edge list (deduped, no
+    self-loops after :meth:`cleaned`). Undirected algorithms use
+    :meth:`symmetric`; triangle counting uses :meth:`canonical`.
+    """
+
+    edges: DataFrame
+    num_partitions: int = 32
+    _cache: dict = field(default_factory=dict, repr=False)
+
+    # ------------------------------------------------------------------
+    # derived views
+    # ------------------------------------------------------------------
+    def cleaned(self) -> DataFrame:
+        """Deduped, self-loop-free directed edges."""
+        return (
+            self.edges.select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+
+    def symmetric(self) -> DataFrame:
+        """Both directions, deduped — the reference's both-endpoint
+        storage (``src/hoover.cpp:487-492``) as a view, not a copy kept
+        in sync by hand."""
+        if "symmetric" not in self._cache:
+            e = self.cleaned()
+            sym = e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).dropDuplicates(["src", "dst"])
+            self._cache["symmetric"] = sym
+        return self._cache["symmetric"]
+
+    def canonical(self) -> DataFrame:
+        """Undirected edge set stored once with ``src < dst``."""
+        e = self.cleaned()
+        return e.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        ).dropDuplicates(["src", "dst"])
+
+    def vertices(self) -> DataFrame:
+        """Distinct vertex ids appearing at either endpoint."""
+        if "vertices" not in self._cache:
+            e = self.edges
+            self._cache["vertices"] = (
+                e.select(F.col("src").alias("vid"))
+                .unionByName(e.select(F.col("dst").alias("vid")))
+                .distinct()
+            )
+        return self._cache["vertices"]
+
+    def out_degrees(self) -> DataFrame:
+        """(vid, out_deg) over the directed edge list."""
+        return self.cleaned().groupBy(F.col("src").alias("vid")).agg(
+            F.count(F.lit(1)).alias("out_deg")
+        )
+
+    def degrees(self) -> DataFrame:
+        """(vid, degree) over the undirected (symmetric) view."""
+        return self.symmetric().groupBy(F.col("src").alias("vid")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+
+    def partitioned(self) -> "Graph":
+        """Repartition edges by hash(src) — the Spark analogue of the
+        reference's static PE ownership (``VERTEX_ID_PE``,
+        ``inc/hvr_common.h:53-67``). Iterative kernels reuse this
+        partitioning across joins so the big side does not re-shuffle
+        every iteration."""
+        return Graph(
+            self.edges.repartition(self.num_partitions, "src"),
+            num_partitions=self.num_partitions,
+        )
+
+    def persist(self) -> "Graph":
+        self.edges = self.edges.persist()
+        return self
+
+    # ------------------------------------------------------------------
+    # CSR blocks (reference: per-vertex AVL rows linearized to flat
+    # arrays, src/hvr_irregular_matrix.cpp:67-70). One block per hash
+    # partition; adjacency as numpy-style arrays for vectorized kernels.
+    # ------------------------------------------------------------------
+    def csr_blocks(self, num_parts: int | None = None) -> DataFrame:
+        """(part, vids: array<long>, indptr: array<int>, indices: array<long>)
+
+        Built with ``applyInPandas`` — one Arrow batch per partition,
+        sorted adjacency (the AVL trees kept neighbors ordered; we sort
+        once at build). Kernel code can zip ``vids[i]`` with
+        ``indices[indptr[i]:indptr[i+1]]``.
+        """
+        num_parts = num_parts or self.num_partitions
+        e = self.symmetric().withColumn(
+            "part", F.pmod(F.xxhash64("src"), F.lit(num_parts)).cast("int")
+        )
+
+        schema = T.StructType(
+            [
+                T.StructField("part", T.IntegerType(), False),
+                T.StructField("vids", T.ArrayType(T.LongType()), False),
+                T.StructField("indptr", T.ArrayType(T.IntegerType()), False),
+                T.StructField("indices", T.ArrayType(T.LongType()), False),
+            ]
+        )
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["src", "dst"])
+            part = int(pdf["part"].iloc[0])
+            counts = pdf.groupby("src", sort=True).size()
+            vids = counts.index.to_numpy()
+            indptr = [0]
+            total = 0
+            for c in counts.to_numpy():
+                total += int(c)
+                indptr.append(total)
+            return pd.DataFrame(
+                {
+                    "part": [part],
+                    "vids": [vids.tolist()],
+                    "indptr": [indptr],
+                    "indices": [pdf["dst"].to_numpy().tolist()],
+                }
+            )
+
+        return e.groupBy("part").applyInPandas(build, schema=schema)
+
+
+def graph_from_pairs(spark, pairs, num_partitions: int = 8) -> Graph:
+    """Tiny-fixture helper: build a Graph from python (src, dst) pairs."""
+    df = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in pairs], schema=EDGE_SCHEMA
+    )
+    return Graph(df, num_partitions=num_partitions)

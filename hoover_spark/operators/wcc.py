@@ -1,0 +1,153 @@
+"""Weakly-connected components: hash-min label exchange + pointer jumping.
+
+Reference semantics: ``test/connected_components.c:88-112`` — every
+vertex starts with ``label = own id`` and each iteration takes
+``label = min(label, min over neighbor labels)`` (the neighbor min is
+``hvr_neighbors_min``, ``src/hoover.cpp:2058-2110``), with HOOVER's
+delta machinery (``needs_processing`` frontier,
+``src/hoover.cpp:603-622``) ensuring only changed vertices re-send.
+
+Spark-first design:
+
+- the neighbor-min is ``edges ⋈ frontier`` + ``groupBy(dst).min`` —
+  one shuffle join + one partial/final hash agg per iteration;
+- the **frontier** (only labels that changed last iteration are sent)
+  ports the reference's dirty-vertex delta processing — the single
+  most important cross-iteration optimization Spark does not provide
+  automatically (SURVEY.md §4 O2);
+- **pointer jumping** (``label = label(label)``): since every label is
+  itself a vertex id, a self-join on ``label == vid`` halves the
+  remaining path length each round, turning O(diameter) convergence
+  into ~O(log diameter) — essential for long-chain graphs at scale
+  (publicly known Shiloach-Vishkin / hash-min-with-shortcut technique);
+- per-iteration metrics (rows shuffled = messages aggregated, delta
+  norm = label changes, frontier size) are counted inside the same
+  aggregation pass — no extra Spark jobs;
+- state is ``localCheckpoint``-ed every iteration (lineage truncation)
+  and durably checkpointed every ``checkpoint_every`` iterations for
+  resume (north rule).
+
+The result labels each vertex with the minimum vertex id of its
+component — exactly the reference's converged state, independent of
+partitioning / parallelism (min is order-insensitive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hoover_spark.operators.graph import Graph
+from hoover_spark.plans.iteration import IterationLoop, StopWatch
+
+
+def wcc(
+    graph: Graph,
+    spark: SparkSession | None = None,
+    max_iterations: int = 100,
+    pointer_jumping: bool = True,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+    loop: IterationLoop | None = None,
+    initial_labels: DataFrame | None = None,
+) -> DataFrame:
+    """Return ``(vid: long, label: long)`` — label = min vid in component.
+
+    ``initial_labels`` warm-starts the iteration (used by streaming
+    incremental re-convergence; reference analogue: mirrors persist
+    across ``start_time_step`` batches).
+    """
+    spark = spark or graph.edges.sparkSession
+    loop = loop or IterationLoop(
+        spark,
+        kernel="wcc",
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        max_iterations=max_iterations,
+    )
+
+    edges = graph.symmetric().repartition(graph.num_partitions, "src").persist()
+
+    start_iter = 0
+    labels = None
+    if resume:
+        loaded = loop.load_latest()
+        if loaded is not None:
+            labels, start_iter = loaded
+    if labels is None:
+        if initial_labels is not None:
+            labels = initial_labels.select("vid", "label")
+        else:
+            labels = graph.vertices().select(
+                F.col("vid"), F.col("vid").alias("label")
+            )
+        labels = loop.hold(labels)
+
+    # Initially every vertex is "dirty" (reference: iteration-0 full send,
+    # send_all_vertices_in_partition, src/hoover.cpp:1517-1533).
+    frontier = labels
+
+    it = start_iter
+    watch = StopWatch()
+    while it < loop.max_iterations:
+        it += 1
+        # 1. neighbor-min over the frontier only (delta processing).
+        msgs = edges.join(
+            frontier.select(F.col("vid").alias("src"), "label"), on="src"
+        ).select(F.col("dst").alias("vid"), "label")
+        mins = msgs.groupBy("vid").agg(
+            F.min("label").alias("msg_label"), F.count(F.lit(1)).alias("msg_cnt")
+        )
+        stepped = (
+            labels.join(mins, on="vid", how="left")
+            .select(
+                "vid",
+                F.col("label").alias("prev_label"),
+                F.least("label", F.coalesce("msg_label", "label")).alias("label"),
+                F.coalesce("msg_cnt", F.lit(0)).alias("msg_cnt"),
+            )
+        )
+
+        # 2. pointer jumping: label <- min(label, label(label)).
+        if pointer_jumping:
+            lookup = stepped.select(
+                F.col("vid").alias("j_vid"), F.col("label").alias("j_label")
+            )
+            stepped = (
+                stepped.join(lookup, stepped.label == lookup.j_vid, "left")
+                .select(
+                    "vid",
+                    "prev_label",
+                    F.least("label", F.coalesce("j_label", "label")).alias("label"),
+                    "msg_cnt",
+                )
+            )
+
+        new_labels = loop.hold(stepped)
+
+        # 3. one-pass stats: frontier size, messages shuffled.
+        stats = new_labels.agg(
+            F.sum((F.col("label") < F.col("prev_label")).cast("long")).alias("changed"),
+            F.sum("msg_cnt").alias("shuffled"),
+        ).collect()[0]
+        changed = int(stats["changed"] or 0)
+        shuffled = int(stats["shuffled"] or 0)
+        loop.log(
+            iteration=it,
+            rows_shuffled=shuffled,
+            delta_norm=float(changed),
+            frontier_size=changed,
+            wall_ms=watch.lap_ms(),
+        )
+
+        labels = new_labels.select("vid", "label")
+        labels = loop.save_state(labels, it)
+        if changed == 0:
+            break
+        frontier = new_labels.where(F.col("label") < F.col("prev_label")).select(
+            "vid", "label"
+        )
+
+    result = loop.finish(labels.select("vid", "label"), it)
+    edges.unpersist()
+    return result

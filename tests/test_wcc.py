@@ -1,0 +1,109 @@
+"""WCC correctness vs union-find oracle (exact, per north rule)."""
+
+import pytest
+
+from hoover_spark.operators.wcc import wcc
+from hoover_spark.sources.synthetic import (
+    cycle_graph,
+    edges_to_pairs,
+    path_graph,
+    rmat_graph,
+    star_graph,
+    two_cliques,
+)
+from tests.oracles import union_find_components
+
+
+def labels_of(df):
+    return {r["vid"]: r["label"] for r in df.collect()}
+
+
+def assert_matches_oracle(g):
+    pairs = edges_to_pairs(g)
+    got = labels_of(wcc(g))
+    want = union_find_components(pairs)
+    assert got == want
+
+
+def test_path(spark):
+    assert_matches_oracle(path_graph(spark, 33))
+
+
+def test_cycle(spark):
+    assert_matches_oracle(cycle_graph(spark, 17))
+
+
+def test_star(spark):
+    assert_matches_oracle(star_graph(spark, 50))
+
+
+def test_two_cliques_disjoint(spark):
+    g = two_cliques(spark, 4, bridge=False)
+    got = labels_of(wcc(g))
+    assert set(got.values()) == {0, 4}
+    assert_matches_oracle(g)
+
+
+def test_two_cliques_bridged(spark):
+    g = two_cliques(spark, 4, bridge=True)
+    got = labels_of(wcc(g))
+    assert set(got.values()) == {0}
+
+
+def test_rmat(spark):
+    assert_matches_oracle(rmat_graph(spark, scale=8, edge_factor=4))
+
+
+def test_long_path_converges_fast(spark):
+    """Pointer jumping: a 200-vertex path must converge in far fewer
+    than 200 iterations (O(log) rounds)."""
+    from hoover_spark.plans.iteration import IterationLoop
+
+    g = path_graph(spark, 200)
+    loop = IterationLoop(spark, kernel="wcc", max_iterations=50)
+    got = labels_of(wcc(g, loop=loop))
+    assert got == union_find_components(edges_to_pairs(g))
+    assert len(loop.metrics) < 25
+
+
+def test_no_pointer_jumping_matches(spark):
+    g = two_cliques(spark, 4, bridge=True)
+    got = labels_of(wcc(g, pointer_jumping=False))
+    assert got == union_find_components(edges_to_pairs(g))
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """Run to iter K with checkpointing, then resume from disk and
+    converge — final labels identical to a straight run."""
+    g = rmat_graph(spark, scale=7, edge_factor=4)
+    d = str(tmp_path / "ck")
+    from hoover_spark.plans.iteration import IterationLoop
+
+    # Straight run.
+    want = labels_of(wcc(g))
+
+    # Interrupted run: max_iterations=2, checkpoint every 1.
+    loop = IterationLoop(spark, "wcc", checkpoint_dir=d, checkpoint_every=1, max_iterations=2)
+    wcc(g, loop=loop)
+    # Resume.
+    loop2 = IterationLoop(spark, "wcc", checkpoint_dir=d, checkpoint_every=1, max_iterations=100)
+    got = labels_of(wcc(g, loop=loop2, resume=True))
+    assert got == want
+
+
+def test_metrics_emitted(spark, tmp_path):
+    import json
+    import os
+
+    g = two_cliques(spark, 4)
+    d = str(tmp_path / "ck")
+    from hoover_spark.plans.iteration import IterationLoop
+
+    loop = IterationLoop(spark, "wcc", checkpoint_dir=d, checkpoint_every=1)
+    wcc(g, loop=loop)
+    path = os.path.join(d, "wcc", "metrics.jsonl")
+    rows = [json.loads(l) for l in open(path)]
+    assert rows, "metrics written"
+    for r in rows:
+        assert {"kernel", "iter", "rows_shuffled", "delta_norm", "frontier_size", "wall_ms", "npartitions"} <= set(r)
+    assert rows[-1]["frontier_size"] == 0  # converged
