@@ -1,0 +1,170 @@
+"""PageRank: damped power iteration with dangling-mass redistribution.
+
+The reference does not implement PageRank itself — it is the benchmark
+it compares against on GraphX/Gelly/Giraph
+(``bench/graphx/PageRankExample.scala:43-47``, tol 0.0001;
+``bench/giraph/SimplePageRankComputation.java``). The north rule makes
+it a first-class kernel here, converged to ``max |Δ| < tol`` (1e-6)
+with per-vertex scores reproducible to allclose 1e-6 across
+parallelism levels (float64 throughout; summation-order noise is far
+below the tolerance).
+
+Spark-first plan per iteration (all JVM-side, whole-stage codegen):
+
+    contribs = edges ⋈ ranks⊕out_deg (on src)   — 1 shuffle join
+    sums     = contribs groupBy(dst) SUM         — partial+final agg,
+               optional explicit two-stage salted agg for hot dsts
+    ranks'   = vertices ⟕ sums  →  (1-α)/n + α·(sum + dangling/n)
+    delta    = max |ranks' - ranks|              — same pass as stats
+
+Scale notes:
+- ``edges`` is pre-partitioned by ``src`` once and persisted; every
+  iteration's join reuses that partitioning (no re-shuffle of the big
+  side — the reference's static PE ownership, SURVEY.md §1.2).
+- the per-vertex (rank/out_deg) side is tiny relative to edges; AQE
+  picks broadcast when it fits.
+- dangling mass is one scalar aggregate per iteration (reference
+  analogue: coupled-metric reduction, ``src/hoover.cpp:2819-3180``).
+- hot destinations (a file imported by everything) are handled by the
+  explicit salted two-stage SUM (north rule; SURVEY.md §4 O10) on top
+  of Spark's map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hoover_spark.functions.skew import with_salt
+from hoover_spark.operators.graph import Graph
+from hoover_spark.plans.iteration import IterationLoop, StopWatch
+
+
+def pagerank(
+    graph: Graph,
+    spark: SparkSession | None = None,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iterations: int = 100,
+    n_iterations: int | None = None,
+    salt_buckets: int = 0,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+    loop: IterationLoop | None = None,
+    initial_ranks: DataFrame | None = None,
+) -> DataFrame:
+    """Return ``(vid: long, rank: double)``; ranks sum to 1.
+
+    ``n_iterations`` pins an exact iteration count (bounded-iteration
+    equivalence tests / SQL oracles); otherwise run to ``max|Δ| < tol``.
+    ``salt_buckets > 0`` switches the contribution SUM to the explicit
+    two-stage salted aggregation.
+    ``initial_ranks`` warm-starts (streaming incremental re-convergence).
+    """
+    spark = spark or graph.edges.sparkSession
+    loop = loop or IterationLoop(
+        spark,
+        kernel="pagerank",
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        max_iterations=n_iterations or max_iterations,
+    )
+
+    edges = graph.cleaned().repartition(graph.num_partitions, "src").persist()
+    verts = graph.vertices().persist()
+    n = verts.count()
+    out_deg = (
+        edges.groupBy(F.col("src").alias("vid"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .persist()
+    )
+
+    start_iter = 0
+    ranks = None
+    if resume:
+        loaded = loop.load_latest()
+        if loaded is not None:
+            ranks, start_iter = loaded
+    if ranks is None:
+        if initial_ranks is not None:
+            ranks = initial_ranks.select("vid", "rank")
+        else:
+            ranks = verts.select("vid", F.lit(1.0 / n).alias("rank"))
+        ranks = loop.hold(ranks)
+
+    base = (1.0 - alpha) / n
+    it = start_iter
+    watch = StopWatch()
+    while it < loop.max_iterations:
+        it += 1
+
+        # rank/out_deg per source; vertices absent from out_deg are dangling.
+        ranked = ranks.join(out_deg, on="vid", how="left")
+        dangling = (
+            ranked.where(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+
+        contribs = edges.join(
+            ranked.where(F.col("out_deg").isNotNull()).select(
+                F.col("vid").alias("src"),
+                (F.col("rank") / F.col("out_deg")).alias("w"),
+            ),
+            on="src",
+        ).select("dst", "w")
+
+        if salt_buckets > 0:
+            salted = with_salt(contribs, salt_buckets, cols=["w"])
+            partial = salted.groupBy("dst", "salt").agg(
+                F.sum("w").alias("_w"), F.count(F.lit(1)).alias("_c")
+            )
+            sums = partial.groupBy("dst").agg(
+                F.sum("_w").alias("in_sum"), F.sum("_c").alias("msg_cnt")
+            )
+        else:
+            sums = contribs.groupBy("dst").agg(
+                F.sum("w").alias("in_sum"), F.count(F.lit(1)).alias("msg_cnt")
+            )
+
+        stepped = (
+            ranks.join(sums.withColumnRenamed("dst", "vid"), on="vid", how="left")
+            .select(
+                "vid",
+                F.col("rank").alias("prev_rank"),
+                (
+                    F.lit(base)
+                    + F.lit(alpha)
+                    * (F.coalesce("in_sum", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+                F.coalesce("msg_cnt", F.lit(0)).alias("msg_cnt"),
+            )
+        )
+        new_ranks = loop.hold(stepped)
+
+        stats = new_ranks.agg(
+            F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
+            F.sum((F.abs(F.col("rank") - F.col("prev_rank")) > tol).cast("long")).alias(
+                "active"
+            ),
+            F.sum("msg_cnt").alias("shuffled"),
+        ).collect()[0]
+        delta = float(stats["delta"] or 0.0)
+        loop.log(
+            iteration=it,
+            rows_shuffled=int(stats["shuffled"] or 0),
+            delta_norm=delta,
+            frontier_size=int(stats["active"] or 0),
+            wall_ms=watch.lap_ms(),
+        )
+
+        ranks = new_ranks.select("vid", "rank")
+        ranks = loop.save_state(ranks, it)
+        if n_iterations is None and delta < tol:
+            break
+
+    result = loop.finish(ranks.select("vid", "rank"), it)
+    edges.unpersist()
+    verts.unpersist()
+    out_deg.unpersist()
+    return result
