@@ -50,12 +50,17 @@ def wcc(
     resume: bool = False,
     loop: IterationLoop | None = None,
     initial_labels: DataFrame | None = None,
+    initial_frontier: DataFrame | None = None,
 ) -> DataFrame:
     """Return ``(vid: long, label: long)`` — label = min vid in component.
 
     ``initial_labels`` warm-starts the iteration (used by streaming
     incremental re-convergence; reference analogue: mirrors persist
-    across ``start_time_step`` batches).
+    across ``start_time_step`` batches). ``initial_frontier`` (vid set)
+    restricts the first round's messages to vertices whose adjacency
+    changed — the reference's ``mark_for_processing`` on edge insert
+    (``src/hoover.cpp:603-622``); correct because any label improvement
+    must originate at a vertex incident to a new edge.
     """
     spark = spark or graph.edges.sparkSession
     loop = loop or IterationLoop(
@@ -84,8 +89,14 @@ def wcc(
         labels = loop.hold(labels)
 
     # Initially every vertex is "dirty" (reference: iteration-0 full send,
-    # send_all_vertices_in_partition, src/hoover.cpp:1517-1533).
-    frontier = labels
+    # send_all_vertices_in_partition, src/hoover.cpp:1517-1533) — unless a
+    # warm start narrows the dirty set to changed-adjacency vertices.
+    if initial_frontier is not None and start_iter == 0:
+        frontier = labels.join(
+            initial_frontier.select("vid"), on="vid", how="left_semi"
+        )
+    else:
+        frontier = labels
 
     it = start_iter
     watch = StopWatch()
