@@ -1,38 +1,712 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every SQL-expressible operator slice of the
+engine (SURVEY.md §2) over the driver's parquet tables; each has a
+DuckDB twin in ``oracle_sql()`` that recomputes the same result with
+plain ANSI SQL. Graph kernels run on graphs **derived
+deterministically** from the driver tables with modular arithmetic
+(both engines compute identical edge sets), so the iterative Spark
+kernels (WCC / PageRank / label propagation / triangles) are checked
+against closed-form SQL: recursive-CTE reachability for WCC, unrolled
+iteration CTEs for PageRank and min-label, and plain join-counting for
+triangles.
+
+Doubles are rounded (6 dp) on BOTH sides before comparison; ranks are
+ordered by the rounded value so row_number ties break identically.
+
+Non-SQL-expressible entries (streaming incremental convergence, the
+repos→edges flagship on the synthesized source table, ANN) are covered
+by pytest oracles in tests/ instead.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hoover_spark.functions.text import (
+    HASH_P,
+    LANG_MARKERS,
+    STOPWORDS,
+    lang_id,
+    quality_metrics,
+    quality_score,
+    shingle_codes,
+    subword_count,
+    token_count,
+    winnow_fingerprints,
+)
+from hoover_spark.operators.dedup import (
+    exact_dedup,
+    minhash_coeffs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+)
+from hoover_spark.operators.graph import Graph
+from hoover_spark.operators.label_prop import min_label_propagation, mode_label_propagation
+from hoover_spark.operators.pagerank import pagerank
+from hoover_spark.operators.triangles import oriented_edges, per_vertex_triangles
+from hoover_spark.operators.wcc import wcc
+
+N_HASHES = 12
+BAND = 3
+SHINGLE_K = 5
+LSH_MAX_BUCKET = 1000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# deterministic derived graphs (identical in Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+def _customer_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed graph on customer keys: x → (31x+17) mod N and
+    x → (57x+23) mod N (self-loops dropped, deduped)."""
+    cust = _t(spark, sf_dir, "customer")
+    n = cust.count()
+    k = F.col("c_custkey")
+    e1 = cust.select(k.alias("src"), F.pmod(k * 31 + 17, F.lit(n)).alias("dst"))
+    e2 = cust.select(k.alias("src"), F.pmod(k * 57 + 23, F.lit(n)).alias("dst"))
+    return (
+        e1.unionByName(e2).where(F.col("src") != F.col("dst")).distinct()
+    )
+
+
+_CUSTOMER_EDGES_SQL = """
+  cn AS (SELECT count(*) AS n FROM customer),
+  e0 AS (
+    SELECT src, dst FROM (
+      SELECT c_custkey AS src, (c_custkey*31+17) % (SELECT n FROM cn) AS dst FROM customer
+      UNION
+      SELECT c_custkey AS src, (c_custkey*57+23) % (SELECT n FROM cn) AS dst FROM customer
+    ) WHERE src <> dst
+  ),
+  sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+  v AS (SELECT DISTINCT src AS vid FROM sym)
+"""
+
+
+def _events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite-ish user graph: user_id → (7919·event_id + 13) mod U."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct().count()
+    return (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.pmod(F.col("event_id") * 7919 + 13, F.lit(u)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+_EVENTS_EDGES_SQL = """
+  un AS (SELECT count(DISTINCT user_id) AS u FROM events),
+  e0 AS (
+    SELECT DISTINCT user_id AS src, (event_id*7919+13) % (SELECT u FROM un) AS dst
+    FROM events WHERE user_id <> (event_id*7919+13) % (SELECT u FROM un)
+  ),
+  sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+  v AS (SELECT DISTINCT src AS vid FROM sym)
+"""
+
+
+def _order_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite customer → part graph from the order lines; parts are
+    offset by 10^6 so the id spaces do not collide. Parts have no
+    out-edges → dangling-mass exercise for PageRank."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+_ORDER_PART_EDGES_SQL = """
+  e0 AS (
+    SELECT DISTINCT o_custkey AS src, l_partkey + 1000000 AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  ),
+  v AS (SELECT src AS vid FROM e0 UNION SELECT dst AS vid FROM e0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+
+def q_edge_derivation(spark, sf_dir):
+    return _customer_edges(spark, sf_dir)
+
+
+def q_graph_degrees(spark, sf_dir):
+    g = Graph(_customer_edges(spark, sf_dir))
+    return g.degrees().select("vid", F.col("degree").cast("long").alias("degree"))
+
+
+def q_wcc_components(spark, sf_dir):
+    g = Graph(_customer_edges(spark, sf_dir))
+    return wcc(g, spark=spark).select("vid", "label")
+
+
+def q_wcc_sizes(spark, sf_dir):
+    g = Graph(_customer_edges(spark, sf_dir))
+    return (
+        wcc(g, spark=spark)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .select(F.col("label").alias("component"), "size")
+    )
+
+
+def q_pagerank_3iter(spark, sf_dir):
+    g = Graph(_order_part_edges(spark, sf_dir))
+    pr = pagerank(g, spark=spark, n_iterations=3)
+    return pr.select("vid", F.round("rank", 6).alias("rank"))
+
+
+def q_minlabel_2iter(spark, sf_dir):
+    g = Graph(_events_edges(spark, sf_dir))
+    return min_label_propagation(g, n_iterations=2).select("vid", "label")
+
+
+def q_mode_lp_1iter(spark, sf_dir):
+    g = Graph(_customer_edges(spark, sf_dir))
+    return mode_label_propagation(g, n_iterations=1).select("vid", "label")
+
+
+def q_triangle_total(spark, sf_dir):
+    g = Graph(_customer_edges(spark, sf_dir))
+    e = oriented_edges(g)
+    wedges = e.alias("a").join(e.alias("b"), F.col("a.dst") == F.col("b.src")).select(
+        F.col("a.src").alias("u"), F.col("b.dst").alias("w")
+    )
+    closed = wedges.join(
+        e.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        on=["u", "w"],
+        how="left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def q_triangles_per_vertex(spark, sf_dir):
+    g = Graph(_customer_edges(spark, sf_dir))
+    return per_vertex_triangles(g).select(
+        "vid", F.col("triangles").cast("long").alias("triangles")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").select(
+        "id", "content_sha", "canonical_id", "is_duplicate"
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", n_hashes=N_HASHES, k=SHINGLE_K)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=N_HASHES, band_size=BAND,
+        k=SHINGLE_K, max_bucket=LSH_MAX_BUCKET,
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=N_HASHES, band_size=BAND,
+        k=SHINGLE_K, max_bucket=LSH_MAX_BUCKET,
+    )
+    return ngram_jaccard(docs, pairs, "doc_id", "text", n=3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", n_bits=16, k=SHINGLE_K)
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    qs = quality_score(quality_metrics(docs, "doc_id", "text"))
+    return qs.select(
+        "id",
+        "n_chars",
+        "n_tokens",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("uniq_ratio", 6).alias("uniq_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id(docs, "doc_id", "text")
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        token_count("text").cast("long").alias("n_tokens"),
+        subword_count("text").cast("long").alias("n_subwords"),
+    )
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=SHINGLE_K, window=4)
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
+    return emb.select("vec_id", F.round(norm, 6).alias("norm"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vecs = emb.select(F.col("vec_id"), v.alias("v"))
+    queries = vecs.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    dot = lambda a, b: F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda a_, b_: a_ + b_)
+    norm = lambda a: F.sqrt(dot(a, a))
+    scored = (
+        vecs.join(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot(F.col("q"), F.col("v")) / (norm(F.col("q")) * norm(F.col("v"))), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def q_event_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select("hour", "event_type", "n", "sum_value")
+    )
+
+
+def q_midas_edge_freq(spark, sf_dir):
+    """Streaming-frequency anomaly score (MIDAS-style recent/total
+    divergence, reference ``test/midas.cpp:29-36``) as an exact
+    windowed count — per (user_id, event_type) edge."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum((F.col("ts") >= cutoff).cast("long")).alias("recent"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "total",
+            "recent",
+            F.round(F.col("recent") / F.col("total"), 6).alias("recent_ratio"),
+        )
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session tz is UTC, so ntz→ltz→epoch-seconds
+    # matches DuckDB's epoch(naive ts) exactly.
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
+    brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.select("user_id", brk.alias("brk"))
+        .groupBy("user_id")
+        .agg(F.sum("brk").cast("long").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# -- rows-only entries (no SQL oracle: iterative/streaming/ANN) -------------
+
+def q_repos_wcc(spark, sf_dir):
+    """Flagship integration: synthesize the repos source table, verify
+    the per-row sha256 invariant, extract the reference graph, run WCC.
+    (Generator is not SQL-recomputable → rows-only driver check; exact
+    per-vertex oracle lives in tests/test_repos.py.)"""
+    from hoover_spark.sources.repos import ref_edges, repos_table, verify_content_sha256
+
+    n_rows = 2000
+    repos = repos_table(spark, n_rows)
+    assert verify_content_sha256(repos, n_rows).limit(1).count() == 0
+    g = Graph(ref_edges(repos), num_partitions=16)
+    return wcc(g, spark=spark).select("vid", "label")
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    from hoover_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(emb, queries, k=5).select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    from hoover_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 200)
+    return extract_features(media, fake=True).select(
+        "asset_id", "kind", "payload_bytes", F.element_at("feature", 1).cast("double").alias("f0")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full engine slice —
+    WCC component labels of the customer-key graph (edge derivation →
+    symmetrize → hash-min with pointer jumping → converged labels)."""
+    return q_wcc_components(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "edge_derivation": q_edge_derivation,
+        "graph_degrees": q_graph_degrees,
+        "wcc_components": q_wcc_components,
+        "wcc_sizes": q_wcc_sizes,
+        "pagerank_3iter": q_pagerank_3iter,
+        "minlabel_2iter": q_minlabel_2iter,
+        "mode_lp_1iter": q_mode_lp_1iter,
+        "triangle_total": q_triangle_total,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "embedding_norms": q_embedding_norms,
+        "cosine_topk": q_cosine_topk,
+        "event_hourly": q_event_hourly,
+        "midas_edge_freq": q_midas_edge_freq,
+        "sessionize": q_sessionize,
+        "repos_wcc": q_repos_wcc,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+def _shingle_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text", k: int = SHINGLE_K) -> str:
+    terms = " + ".join(
+        f"ascii(substr({text_col}, p + {j}, 1)) * {31 ** j}" for j in range(k)
+    )
+    return (
+        f"sh AS (SELECT {id_col} AS id, p AS pos, CAST({terms} AS BIGINT) AS code "
+        f"FROM {table}, UNNEST(range(1, length({text_col}) - {k} + 2)) AS _u(p) "
+        f"WHERE length({text_col}) >= {k})"
+    )
+
+
+def _minhash_sig_core_sql() -> str:
+    """SELECT over the ``sh`` CTE producing the signature columns."""
+    mins = ", ".join(
+        f"min(({a}*code + {b}) % {HASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(N_HASHES))
+    )
+    return f"SELECT id, {mins} FROM sh GROUP BY id"
+
+
+def _minhash_sig_sql() -> str:
+    return f"WITH {_shingle_sql()} {_minhash_sig_core_sql()}"
+
+
+def _band_selects_sql() -> str:
+    return " UNION ALL ".join(
+        "SELECT id, {bnd} AS band, {key} AS key FROM sig".format(
+            bnd=bnd,
+            key=" || ':' || ".join(
+                f"CAST(h{bnd * BAND + j} AS VARCHAR)" for j in range(BAND)
+            ),
+        )
+        for bnd in range(N_HASHES // BAND)
+    )
+
+
+def _lsh_candidates_ctes() -> str:
+    """CTE chain sh → sig → bands → sizes → ok → pairs."""
+    return f"""{_shingle_sql()},
+sig AS ({_minhash_sig_core_sql()}),
+bands AS ({_band_selects_sql()}),
+sizes AS (SELECT band, key, count(*) AS n FROM bands GROUP BY 1, 2),
+ok AS (SELECT b.id, b.band, b.key FROM bands b JOIN sizes USING (band, key) WHERE n <= {LSH_MAX_BUCKET}),
+pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM ok a JOIN ok b ON a.band = b.band AND a.key = b.key AND a.id < b.id)"""
+
+
+def _lsh_pairs_sql() -> str:
+    return f"WITH {_lsh_candidates_ctes()} SELECT id_a, id_b FROM pairs"
+
+
+def _pagerank_sql(alpha: float = 0.85) -> str:
+    iters = []
+    prev = "r0"
+    for i in (1, 2, 3):
+        iters.append(f"""
+d{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM {prev} LEFT JOIN deg USING (vid) WHERE od IS NULL),
+c{i} AS (SELECT e0.dst AS vid, sum({prev}.rank / deg.od) AS s
+         FROM e0 JOIN {prev} ON e0.src = {prev}.vid JOIN deg ON e0.src = deg.vid GROUP BY 1),
+r{i} AS (SELECT v.vid,
+         (1 - {alpha}) / (SELECT n FROM nn) +
+         {alpha} * (coalesce(c{i}.s, 0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+         FROM v LEFT JOIN c{i} ON v.vid = c{i}.vid)""")
+        prev = f"r{i}"
+    return f"""
+WITH {_ORDER_PART_EDGES_SQL},
+nn AS (SELECT count(*) AS n FROM v),
+deg AS (SELECT src AS vid, count(*) AS od FROM e0 GROUP BY 1),
+r0 AS (SELECT vid, 1.0 / (SELECT n FROM nn) AS rank FROM v),
+{','.join(iters)}
+SELECT vid, round(rank, 6) AS rank FROM r3
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+    # language-ID score expressions (same formula as the Spark side)
+    lang_scores = {}
+    for lang_code in sorted(LANG_MARKERS):
+        parts = [
+            f"(length(' ' || text || ' ') - length(regexp_replace(' ' || text || ' ', '\\b{m}\\b', '', 'g'))) / {len(m)}.0"
+            for m in LANG_MARKERS[lang_code]
+        ]
+        lang_scores[lang_code] = "CAST(" + " + ".join(parts) + " AS BIGINT)"
+    langs = sorted(LANG_MARKERS)
+    score_cols = ", ".join(f"{lang_scores[l]} AS s_{l}" for l in langs)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred_case = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+
+    simhash_a, simhash_b = 1_664_525, 1_013_904_223
+    sim_sums = ", ".join(
+        f"sum(CASE WHEN (mx >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(16)
+    )
+    sim_pack = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+
+    return {
+        "edge_derivation": f"WITH {_CUSTOMER_EDGES_SQL} SELECT src, dst FROM e0",
+        "graph_degrees": f"""
+WITH {_CUSTOMER_EDGES_SQL}
+SELECT src AS vid, count(*) AS degree FROM sym GROUP BY 1
+""",
+        "wcc_components": f"""
+WITH RECURSIVE {_CUSTOMER_EDGES_SQL},
+reach(vid, r) AS (
+  SELECT vid, vid FROM v
+  UNION
+  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.vid
+)
+SELECT vid, min(r) AS label FROM reach GROUP BY vid
+""",
+        "wcc_sizes": f"""
+WITH RECURSIVE {_CUSTOMER_EDGES_SQL},
+reach(vid, r) AS (
+  SELECT vid, vid FROM v
+  UNION
+  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.vid
+),
+labels AS (SELECT vid, min(r) AS label FROM reach GROUP BY vid)
+SELECT label AS component, count(*) AS size FROM labels GROUP BY 1
+""",
+        "pagerank_3iter": _pagerank_sql(),
+        "minlabel_2iter": f"""
+WITH {_EVENTS_EDGES_SQL},
+l0 AS (SELECT vid, vid AS label FROM v),
+m1 AS (SELECT s.dst AS vid, min(l0.label) AS ml FROM sym s JOIN l0 ON s.src = l0.vid GROUP BY 1),
+l1 AS (SELECT v.vid, least(v.vid, coalesce(m1.ml, v.vid)) AS label FROM v LEFT JOIN m1 ON v.vid = m1.vid),
+m2 AS (SELECT s.dst AS vid, min(l1.label) AS ml FROM sym s JOIN l1 ON s.src = l1.vid GROUP BY 1),
+l2 AS (SELECT l1.vid, least(l1.label, coalesce(m2.ml, l1.label)) AS label FROM l1 LEFT JOIN m2 ON l1.vid = m2.vid)
+SELECT vid, label FROM l2
+""",
+        "mode_lp_1iter": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+l0 AS (SELECT vid, vid AS label FROM v),
+msgs AS (SELECT s.dst AS vid, l0.label FROM sym s JOIN l0 ON s.src = l0.vid),
+cnt AS (SELECT vid, label, count(*) AS c FROM msgs GROUP BY 1, 2),
+mx AS (SELECT vid, max(c) AS mc FROM cnt GROUP BY 1),
+best AS (SELECT cnt.vid, min(cnt.label) AS new_label
+         FROM cnt JOIN mx ON cnt.vid = mx.vid AND cnt.c = mx.mc GROUP BY 1)
+SELECT v.vid, coalesce(best.new_label, v.vid) AS label FROM v LEFT JOIN best ON v.vid = best.vid
+""",
+        "triangle_total": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+canon AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d FROM e0),
+tris AS (
+  SELECT a.s AS u, a.d AS v2, b.d AS w
+  FROM canon a JOIN canon b ON b.s = a.d JOIN canon c ON c.s = a.s AND c.d = b.d
+)
+SELECT count(*) AS n_triangles FROM tris
+""",
+        "triangles_per_vertex": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+canon AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d FROM e0),
+tris AS (
+  SELECT a.s AS u, a.d AS v2, b.d AS w
+  FROM canon a JOIN canon b ON b.s = a.d JOIN canon c ON c.s = a.s AND c.d = b.d
+),
+corners AS (
+  SELECT u AS vid FROM tris UNION ALL SELECT v2 FROM tris UNION ALL SELECT w FROM tris
+),
+cc AS (SELECT vid, count(*) AS c FROM corners GROUP BY 1)
+SELECT v.vid, coalesce(cc.c, 0) AS triangles FROM v LEFT JOIN cc ON v.vid = cc.vid
+""",
+        "dedup_exact": """
+WITH h AS (SELECT doc_id AS id, sha256(text) AS content_sha FROM documents),
+c AS (SELECT content_sha, min(id) AS canonical_id FROM h GROUP BY 1)
+SELECT id, h.content_sha, canonical_id, id <> canonical_id AS is_duplicate
+FROM h JOIN c ON h.content_sha = c.content_sha
+""",
+        "minhash_signatures": _minhash_sig_sql(),
+        "minhash_lsh_pairs": _lsh_pairs_sql(),
+        "simhash": f"""
+WITH {_shingle_sql()},
+m AS (SELECT id, ({simhash_a}*code + {simhash_b}) % {HASH_P} AS mx FROM sh),
+sums AS (SELECT id, {sim_sums} FROM m GROUP BY id)
+SELECT id, CAST({sim_pack} AS BIGINT) AS simhash FROM sums
+""",
+        "ngram_jaccard": f"""
+WITH {_lsh_candidates_ctes()},
+toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+grams AS (SELECT DISTINCT id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+          FROM toks, UNNEST(range(1, len(t) - 1)) AS _u(i) WHERE len(t) >= 3),
+counts AS (SELECT id, count(*) AS n_grams FROM grams GROUP BY 1),
+inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+          FROM pairs p JOIN grams ga ON ga.id = p.id_a JOIN grams gb ON gb.id = p.id_b AND gb.gram = ga.gram
+          GROUP BY 1, 2)
+SELECT p.id_a, p.id_b,
+       round(coalesce(i.n_inter, 0) * 1.0 / (ca.n_grams + cb.n_grams - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+JOIN counts ca ON ca.id = p.id_a
+JOIN counts cb ON cb.id = p.id_b
+""",
+        "text_quality": f"""
+WITH t AS (
+  SELECT doc_id AS id, length(text) AS n_chars,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct
+  FROM documents
+),
+m AS (
+  SELECT id, n_chars, len(toks) AS n_tokens,
+         (n_chars - (len(toks) - 1)) * 1.0 / len(toks) AS avg_token_len,
+         len(list_filter(toks, x -> x IN ({stop_list}))) * 1.0 / len(toks) AS stopword_ratio,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_ratio,
+         punct * 1.0 / n_chars AS punct_ratio
+  FROM t
+)
+SELECT id, n_chars, n_tokens,
+       round(avg_token_len, 6) AS avg_token_len,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(uniq_ratio, 6) AS uniq_ratio,
+       round(
+         greatest(0.0, least(1.0, n_tokens / 64.0)) * 0.4 +
+         greatest(0.0, least(1.0, uniq_ratio)) * 0.4 +
+         greatest(0.0, least(1.0, 1.0 - punct_ratio * 10.0)) * 0.2, 6) AS quality
+FROM m
+""",
+        "lang_id": f"""
+WITH s AS (SELECT doc_id AS id, {score_cols} FROM documents),
+b AS (SELECT id, {', '.join(f's_{l}' for l in langs)}, {best} AS best FROM s)
+SELECT id, CASE WHEN best <= 0 THEN 'und' ELSE CASE {pred_case} END END AS pred_lang FROM b
+""",
+        "token_counts": """
+WITH t AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+SELECT id, len(toks) AS n_tokens,
+       CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+FROM t
+""",
+        "winnow_fingerprints": f"""
+WITH {_shingle_sql()},
+h AS (SELECT id, pos, (1103515245 * code + 12345) % {HASH_P} AS h FROM sh),
+w AS (SELECT id, min(h) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM h)
+SELECT DISTINCT id, fp FROM w
+""",
+        "embedding_norms": """
+SELECT vec_id, round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS norm
+FROM embeddings
+""",
+        "cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 50 = 0),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+s AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(qv, vv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))), 6) AS cosine
+  FROM q CROSS JOIN v WHERE vec_id <> query_id
+),
+r AS (SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+""",
+        "event_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "midas_edge_freq": """
+SELECT user_id, event_type, count(*) AS total,
+       sum(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 1 ELSE 0 END) AS recent,
+       round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recent_ratio
+FROM events GROUP BY 1, 2
+""",
+        "sessionize": """
+WITH o AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id,
+       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+       count(*) AS n_events
+FROM o GROUP BY 1
+""",
+    }

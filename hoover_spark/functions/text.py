@@ -1,0 +1,215 @@
+"""Text-analysis functions for the training-data pipeline.
+
+Everything here is built from **JVM-side column expressions** (no
+Python in the hot path): tokenization, character-shingle codes,
+quality metrics, language-ID scoring, and winnowing fingerprints.
+These are the document-table analogues of the reference's scalar
+helpers (`SURVEY.md` §2.7 — the reference only has math scalars;
+text ops are the capability extension a 100 TB training-data pipeline
+needs on top of the link-graph kernels).
+
+Design constraint: every function has a closed-form ANSI-SQL twin
+(used by the driver's DuckDB oracle), so we avoid engine-specific
+hashes (xxhash64) in favor of explicit polynomial codes computed with
+plain arithmetic — identical in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: modulus for all polynomial / affine hashing (fits 64-bit products).
+HASH_P = 1_000_000_007
+#: polynomial base for character codes.
+POLY_BASE = 31
+
+#: tiny stopword list used by quality scoring (deterministic, public).
+STOPWORDS = ["the", "a", "of", "and", "to"]
+
+#: marker-word lists for the n-gram/marker language-ID heuristic.
+#: (public-knowledge function words per language; the heuristic is the
+#: classic "count closed-class markers, argmax" approach.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "customer"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["zh0", "zh1", "zh2", "zh3", "zh4"],
+}
+
+
+# ---------------------------------------------------------------------------
+# tokenization / counting
+# ---------------------------------------------------------------------------
+
+def tokens(col) -> Column:
+    """Whitespace tokens of a text column (split on runs of spaces)."""
+    return F.split(F.trim(F.col(col) if isinstance(col, str) else col), r"\s+")
+
+
+def token_count(col) -> Column:
+    """Number of whitespace tokens — the 'token counting' primitive.
+
+    (A BPE-ish subword count is :func:`subword_count`.)"""
+    t = F.trim(F.col(col) if isinstance(col, str) else col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def subword_count(col, max_piece: int = 4) -> Column:
+    """BPE-ish subword count: ceil(len(word)/max_piece) summed over
+    words — a deterministic stand-in for a real tokenizer's piece count
+    (no vocab needed, monotone in text length, SQL-expressible)."""
+    t = tokens(col)
+    return F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(max_piece)).cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# character shingles: polynomial codes (SQL-twin-able)
+# ---------------------------------------------------------------------------
+
+def shingle_codes(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """(id, pos, code) — one row per character k-gram.
+
+    code = sum_{j=0}^{k-1} ascii(text[pos+j]) * 31^j  (pos 1-based).
+    Pure `sequence`+`explode` + arithmetic: whole-stage codegen, and
+    byte-identical to the DuckDB oracle's recomputation.
+    """
+    n_pos = F.length(text_col) - F.lit(k - 1)
+    pos = F.explode(F.sequence(F.lit(1), n_pos)).alias("pos")
+    base_df = df.where(F.length(text_col) >= k).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t"), pos
+    )
+    code = None
+    for j in range(k):
+        term = F.ascii(F.substring(F.col("_t"), F.col("pos") + F.lit(j), 1)) * F.lit(POLY_BASE ** j)
+        code = term if code is None else code + term
+    return base_df.select("id", "pos", code.cast("long").alias("code"))
+
+
+def shingle_codes_sql(table: str, id_col: str, text_col: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`shingle_codes` (1-based positions)."""
+    terms = " + ".join(
+        f"ascii(substr({text_col}, p + {j}, 1)) * {POLY_BASE ** j}" for j in range(k)
+    )
+    return (
+        f"SELECT {id_col} AS id, p AS pos, CAST({terms} AS BIGINT) AS code "
+        f"FROM {table}, UNNEST(range(1, length({text_col}) - {k - 1} + 1)) AS _u(p) "
+        f"WHERE length({text_col}) >= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features: length, token stats, stopword
+    ratio, uniqueness ratio, punctuation ratio — the standard cheap
+    quality filters of large-scale corpus pipelines (C4/Gopher-style
+    rules, public knowledge), all as codegen'd expressions."""
+    t = tokens(text_col)
+    n_tok = token_count(text_col)
+    stop_hits = F.size(F.filter(t, lambda w: w.isin(STOPWORDS)))
+    uniq = F.size(F.array_distinct(t))
+    n_chars = F.length(text_col)
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        ((n_chars - (n_tok - F.lit(1))) / n_tok).alias("avg_token_len"),
+        (stop_hits / n_tok).alias("stopword_ratio"),
+        (uniq / n_tok).alias("uniq_ratio"),
+        (punct / n_chars).alias("punct_ratio"),
+    )
+
+
+def quality_score(metrics: DataFrame) -> DataFrame:
+    """Scalar quality score in [0,1] from :func:`quality_metrics` —
+    a deterministic linear rule (each term clamped)."""
+    clamp = lambda c: F.greatest(F.lit(0.0), F.least(F.lit(1.0), c))
+    score = (
+        clamp(F.col("n_tokens") / F.lit(64.0)) * 0.4
+        + clamp(F.col("uniq_ratio")) * 0.4
+        + clamp(F.lit(1.0) - F.col("punct_ratio") * 10.0) * 0.2
+    )
+    return metrics.withColumn("quality", score)
+
+
+# ---------------------------------------------------------------------------
+# language identification (marker heuristic)
+# ---------------------------------------------------------------------------
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pred_lang) — argmax of marker-word hit counts, tie-broken
+    by language code ascending ('und' when zero hits everywhere).
+
+    Two-stage select: marker scores are materialized as narrow columns
+    first, so the final argmax CASE stays small enough for whole-stage
+    codegen (a single nested expression blows the janino method-size
+    limit)."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    langs = sorted(LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        hits = None
+        for m in LANG_MARKERS[lang]:
+            # occurrence count of the standalone word m
+            h = (
+                F.length(padded)
+                - F.length(F.regexp_replace(padded, rf"\b{m}\b", ""))
+            ) / F.lit(len(m))
+            hits = h if hits is None else hits + h
+        score_cols.append(hits.cast("long").alias(f"_s_{lang}"))
+    scored = df.select(F.col(id_col).alias("id"), *score_cols)
+    # argmax with ascending-code tie-break: max of struct(score, -rank)
+    best = F.greatest(
+        *[
+            F.struct(F.col(f"_s_{lang}").alias("s"), F.lit(-i).alias("r"))
+            for i, lang in enumerate(langs)
+        ]
+    )
+    with_best = scored.select("id", best.alias("_b"))
+    pred = None
+    for i, lang in enumerate(langs):
+        cond = F.col("_b")["r"] == -i
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return with_best.select(
+        "id",
+        F.when(F.col("_b")["s"] <= 0, F.lit("und")).otherwise(pred).alias("pred_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 4,
+    a: int = 1_103_515_245, b: int = 12_345,
+) -> DataFrame:
+    """(id, fp) — distinct winnowing fingerprints: min of the affine-
+    hashed k-gram code over every sliding window of ``window`` grams
+    (Schleimer/Wilkerson/Aiken MOSS winnowing, public algorithm).
+
+    Window-min is a Spark SQL window frame (ROWS BETWEEN CURRENT AND
+    window-1 FOLLOWING) — identical frame semantics in DuckDB.
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_codes(df, id_col, text_col, k=k)
+    h = F.pmod(F.lit(a) * F.col("code") + F.lit(b), F.lit(HASH_P))
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        sh.select("id", "pos", h.alias("h"))
+        .select("id", F.min("h").over(w).alias("fp"))
+        .distinct()
+    )

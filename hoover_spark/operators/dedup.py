@@ -1,0 +1,301 @@
+"""Deduplication operators for the training-data pipeline.
+
+Five flavors over a ``documents(id, text)``-shaped table, each scaled
+for a 100 TB corpus (no driver-side loops, no per-row Python):
+
+- **exact**        — sha256 content hash, groupBy, keep min id.
+- **MinHash+LSH**  — char-shingle → H minhashes → bands → bucket join.
+- **SimHash**      — per-bit majority over hashed shingles.
+- **n-gram Jaccard** — exact Jaccard on candidate pairs (verification
+  stage after LSH, or standalone with a cheap banding prefilter).
+- **embedding cosine** — near-dup via cosine over an embedding column
+  (delegates to :mod:`hoover_spark.operators.similarity`).
+
+Scale notes (the part that matters at 1000 executors):
+
+- Shingle explosion multiplies rows by ~|text|; the per-doc aggregate
+  (minhash/simhash) is a partial+final hash agg, so the exploded rows
+  combine **map-side** before any shuffle — the shuffle carries one
+  signature row per (doc, hash_i), not per shingle.
+- LSH bucket join is an equi-join on the band key; hot buckets (boiler-
+  plate text) are bounded by ``max_bucket`` (drop pathological buckets,
+  standard practice) and AQE skew splitting handles the rest.
+- All hashing is explicit affine/polynomial arithmetic mod
+  ``HASH_P`` (`hoover_spark.functions.text.HASH_P`) so the DuckDB
+  oracle can recompute signatures bit-for-bit.
+
+Reference note: the reference engine has no dedup (it is a graph
+runtime); these operators are the corpus-pipeline capability layer the
+north rule's 10^12-file corpus needs before any link analysis —
+sha256-based exact dedup mirrors its per-row content sha256 invariant
+(BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from hoover_spark.functions.text import HASH_P, shingle_codes, tokens
+
+# deterministic affine-hash coefficient schedules (public LCG constants).
+MINHASH_A = 1_664_525
+MINHASH_A2 = 22_695_477
+MINHASH_B = 1_013_904_223
+
+
+def minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) for i in range(n_hashes); a_i odd, both < HASH_P."""
+    out = []
+    for i in range(n_hashes):
+        a = (MINHASH_A * (i + 1) + MINHASH_B) % HASH_P | 1
+        b = (MINHASH_A2 * (i + 1) + 12_345) % HASH_P
+        out.append((a, b))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, content_sha, canonical_id, is_duplicate) — exact content
+    dedup via sha256; canonical = min id per hash group.
+
+    One shuffle (groupBy sha) + broadcast-back of the (usually tiny)
+    duplicate-group table; at 100 TB the group table is small because
+    true exact-dup groups are rare relative to the corpus."""
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("content_sha")
+    )
+    canon = hashed.groupBy("content_sha").agg(F.min("id").alias("canonical_id"))
+    return (
+        hashed.join(canon, on="content_sha")
+        .select(
+            "id",
+            "content_sha",
+            "canonical_id",
+            (F.col("id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 12, k: int = 5
+) -> DataFrame:
+    """(id, h0..h{n-1}) — MinHash signature over character k-gram codes.
+
+    One explode + one partial/final hash agg; the n minima are computed
+    in the same aggregation pass (n agg expressions, map-side combined).
+    """
+    sh = shingle_codes(df, id_col, text_col, k=k)
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("code") + F.lit(b), F.lit(HASH_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    k: int = 5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b) candidate near-duplicate pairs (id_a < id_b):
+    documents agreeing on *all* rows of at least one band.
+
+    Bands are unpivoted to (id, band, key) rows (`stack`-style union of
+    struct keys) and candidates come from a self-join on (band, key) —
+    the classic banding bucket join. Buckets larger than ``max_bucket``
+    are dropped (boilerplate guard; at web scale one viral page must
+    not produce a quadratic bucket)."""
+    assert n_hashes % band_size == 0
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, k=k)
+    n_bands = n_hashes // band_size
+    band_rows = None
+    for bnd in range(n_bands):
+        cols = [F.col(f"h{bnd * band_size + j}") for j in range(band_size)]
+        key = F.concat_ws(":", *[c.cast("string") for c in cols])
+        row = sigs.select("id", F.lit(bnd).alias("band"), key.alias("key"))
+        band_rows = row if band_rows is None else band_rows.unionByName(row)
+    sizes = band_rows.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    ok = band_rows.join(
+        sizes.where(F.col("n") <= max_bucket).select("band", "key"), on=["band", "key"]
+    )
+    a = ok.select("band", "key", F.col("id").alias("id_a"))
+    b = ok.select("band", "key", F.col("id").alias("id_b"))
+    return (
+        a.join(b, on=["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verify)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — exact word-n-gram Jaccard for given
+    candidate pairs. |A∩B| via groupBy over exploded distinct shingles
+    joined to the pair list; |A∪B| = |A|+|B|-|A∩B|.
+
+    This is the verification stage after :func:`minhash_lsh_pairs`:
+    the expensive exact computation runs only on LSH candidates, which
+    is what keeps it sub-quadratic at corpus scale."""
+    t = tokens(text_col)
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .where(F.size(t) >= n)
+        .distinct()
+    )
+    counts = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    ga = grams.select(F.col("id").alias("id_a"), "gram")
+    gb = grams.select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        pairs.join(ga, on="id_a")
+        .join(gb, on=["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, on=["id_a", "id_b"], how="left")
+        .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), on="id_a")
+        .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.coalesce("n_inter", F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce("n_inter", F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 12,
+    band_size: int = 3,
+) -> DataFrame:
+    """End-to-end near-dedup: LSH candidates → exact Jaccard verify →
+    (id_a, id_b, jaccard) pairs above threshold."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, n_hashes=n_hashes, band_size=band_size)
+    scored = ngram_jaccard(df, cand, id_col, text_col)
+    return scored.where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 16,
+    k: int = 5,
+    a: int = MINHASH_A,
+    b: int = MINHASH_B,
+) -> DataFrame:
+    """(id, simhash) — ``n_bits``-bit SimHash over char k-gram codes.
+
+    bit_j(doc) = [ sum over shingles of (±1 by bit j of the mixed
+    hash) > 0 ]. All n_bits bit-sums happen in one aggregation pass
+    (map-side combined); the final packing is a single expression."""
+    sh = shingle_codes(df, id_col, text_col, k=k)
+    mixed = F.pmod(F.lit(a) * F.col("code") + F.lit(b), F.lit(HASH_P))
+    sums = sh.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(mixed, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(n_bits)
+        ]
+    )
+    packed = None
+    for j in range(n_bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        packed = bit if packed is None else packed + bit
+    return sums.select("id", packed.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """(id_a, id_b, hamming) — pairs within ``max_hamming`` bits.
+
+    Candidate generation by the standard block-split trick: split the
+    signature into (max_hamming+1) blocks; any pair within distance d
+    agrees on ≥1 block — equi-join per block, verify with bit_count."""
+    sigs = simhash(df, id_col, text_col, n_bits=n_bits)
+    n_blocks = max_hamming + 1
+    block_bits = n_bits // n_blocks
+    rows = None
+    for blk in range(n_blocks):
+        key = F.shiftright(F.col("simhash"), blk * block_bits).bitwiseAND(
+            F.lit((1 << block_bits) - 1)
+        )
+        r = sigs.select("id", "simhash", F.lit(blk).alias("blk"), key.alias("key"))
+        rows = r if rows is None else rows.unionByName(r)
+    a = rows.select("blk", "key", F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = rows.select("blk", "key", F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    cand = (
+        a.join(b, on=["blk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# connected-component dedup clustering
+# ---------------------------------------------------------------------------
+
+def dup_clusters(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
+    """(id, cluster_id) — group near-dup pairs into clusters with the
+    engine's own WCC kernel (pairs are edges; cluster = min id of the
+    component). This is where the dedup pipeline and the link-graph
+    engine meet: dedup at corpus scale IS a connected-components
+    problem."""
+    from hoover_spark.operators.graph import Graph
+    from hoover_spark.operators.wcc import wcc
+
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = wcc(Graph(edges, num_partitions=16))
+    return (
+        all_ids.join(labels.withColumnRenamed("vid", "id"), on="id", how="left")
+        .select("id", F.coalesce("label", F.col("id")).alias("cluster_id"))
+    )
