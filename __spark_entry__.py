@@ -357,6 +357,52 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def _nation_clique_edges(spark, sf_dir):
+    """Same-region nation pairs — each region is a clique."""
+    nation = _t(spark, sf_dir, "nation")
+    a = nation.select(F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("r"))
+    b = nation.select(F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("r"))
+    return (
+        a.join(b, on="r")
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    )
+
+
+def q_four_clique_count(spark, sf_dir):
+    from hoover_spark.operators.communities import four_cliques
+
+    g = Graph(_nation_clique_edges(spark, sf_dir), num_partitions=8)
+    return four_cliques(g).agg(F.count(F.lit(1)).cast("long").alias("n_cliques"))
+
+
+def q_clique_communities(spark, sf_dir):
+    from hoover_spark.operators.communities import clique_percolation_communities
+
+    g = Graph(_nation_clique_edges(spark, sf_dir), num_partitions=8)
+    return clique_percolation_communities(g).select("vid", "community")
+
+
+def q_cms_estimates(spark, sf_dir):
+    from hoover_spark.operators.sketches import cms_build, cms_query
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cms_build(ev, "user_id", depth=4, width=64, affine=True)
+    keys = ev.select("user_id").distinct()
+    return cms_query(sk, keys, "user_id", depth=4, width=64, affine=True)
+
+
+def q_midas_scores(spark, sf_dir):
+    from hoover_spark.operators.sketches import midas_scores
+
+    ev = _t(spark, sf_dir, "events")
+    res = midas_scores(ev, "user_id", "event_type", "ts", window="1 day", width=None)
+    return res.select(
+        "window_start", "user_id", "event_type", "a", "s", F.col("t").cast("long").alias("t"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 # -- rows-only entries (no SQL oracle: iterative/streaming/ANN) -------------
 
 def q_repos_wcc(spark, sf_dir):
@@ -426,6 +472,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hourly": q_event_hourly,
         "midas_edge_freq": q_midas_edge_freq,
         "sessionize": q_sessionize,
+        "four_clique_count": q_four_clique_count,
+        "clique_communities": q_clique_communities,
+        "cms_estimates": q_cms_estimates,
+        "midas_scores": q_midas_scores,
         "repos_wcc": q_repos_wcc,
         "lsh_ann_topk": q_lsh_ann_topk,
         "multimodal_features": q_multimodal_features,
@@ -507,6 +557,34 @@ deg AS (SELECT src AS vid, count(*) AS od FROM e0 GROUP BY 1),
 r0 AS (SELECT vid, 1.0 / (SELECT n FROM nn) AS rank FROM v),
 {','.join(iters)}
 SELECT vid, round(rank, 6) AS rank FROM r3
+"""
+
+
+def _cms_sql(depth: int = 4, width: int = 64) -> str:
+    """DuckDB twin of the affine-bucket CMS on events.user_id."""
+    from hoover_spark.operators.sketches import AFFINE_P
+
+    def coeffs(r):
+        a = (1_664_525 * (r + 1) + 1_013_904_223) % AFFINE_P | 1
+        b = (22_695_477 * (r + 1) + 12_345) % AFFINE_P
+        return a, b
+
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, (({a}*user_id + {b}) % {AFFINE_P}) % {width} AS bucket FROM events"
+        for r, (a, b) in ((r, coeffs(r)) for r in range(depth))
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT user_id, {r} AS r, (({a}*user_id + {b}) % {AFFINE_P}) % {width} AS bucket FROM ks"
+        for r, (a, b) in ((r, coeffs(r)) for r in range(depth))
+    )
+    return f"""
+WITH b AS ({bucket_rows}),
+sk AS (SELECT r, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+ks AS (SELECT DISTINCT user_id FROM events),
+probes AS ({probe_rows})
+SELECT p.user_id, min(coalesce(sk.cnt, 0)) AS est
+FROM probes p LEFT JOIN sk ON p.r = sk.r AND p.bucket = sk.bucket
+GROUP BY 1
 """
 
 
@@ -697,6 +775,29 @@ SELECT user_id, event_type, count(*) AS total,
        sum(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 1 ELSE 0 END) AS recent,
        round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recent_ratio
 FROM events GROUP BY 1, 2
+""",
+        "four_clique_count": """
+SELECT CAST(sum(c*(c-1)*(c-2)*(c-3)/24) AS BIGINT) AS n_cliques
+FROM (SELECT count(*) AS c FROM nation GROUP BY n_regionkey)
+""",
+        "clique_communities": """
+WITH rc AS (SELECT n_regionkey, count(*) AS c, min(n_nationkey) AS mn FROM nation GROUP BY 1)
+SELECT CAST(n.n_nationkey AS BIGINT) AS vid, CAST(rc.mn AS BIGINT) AS community
+FROM nation n JOIN rc ON n.n_regionkey = rc.n_regionkey
+WHERE rc.c >= 4
+""",
+        "cms_estimates": _cms_sql(),
+        "midas_scores": """
+WITH w0 AS (SELECT user_id, event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start FROM events),
+est AS (SELECT user_id, event_type, window_start, count(*) AS a FROM w0 GROUP BY 1, 2, 3),
+cum AS (SELECT *, sum(a) OVER (PARTITION BY user_id, event_type ORDER BY window_start) AS s FROM est),
+wins AS (SELECT window_start, dense_rank() OVER (ORDER BY window_start) AS t
+         FROM (SELECT DISTINCT window_start FROM est))
+SELECT c.window_start, user_id, event_type, a, s, t,
+       round(CASE WHEN t > 1 AND s > 0
+                  THEN pow(a - s * 1.0 / t, 2) * t * t / (s * (t - 1))
+                  ELSE 0.0 END, 6) AS score
+FROM cum c JOIN wins USING (window_start)
 """,
         "sessionize": """
 WITH o AS (

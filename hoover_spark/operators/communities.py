@@ -1,0 +1,124 @@
+"""Community detection via k-clique percolation (k=4).
+
+Reference semantics: ``test/community_detection.cpp`` — brute-force
+k-clique detection (``find_cliques``, :262-313, K=4 at :33), supernode
+edges between cliques sharing ≥ K-1 members (``supernodes_overlapping``,
+:188-204, used :482-487), then min-label connected components over the
+supernode graph (:493-512). Golden fixtures:
+``community_test_cases/4_vert_1_cliq.csv``, ``8_vert_2_cliq.csv``,
+``8_vert_2_cliq_overlapping.csv``.
+
+Spark-first design (all equi-joins, no per-row Python):
+
+1. **4-cliques** by ordered extension over the degree-oriented edge
+   list (cf. triangles): triangles (u<v<w by orientation rank) joined
+   with a third extension vertex adjacent to all of u, v, w. The
+   orientation bounds each vertex's forward degree at O(sqrt(|E|)) —
+   same skew bound as triangle counting.
+2. **Supernode edges**: two cliques overlap in ≥3 vertices ⇔ they
+   share a sorted 3-subset ⇒ explode each clique's four 3-subsets and
+   equi-join on the subset key (SURVEY.md §2 J6: explode→groupBy pair
+   generation — a set-similarity join, never a quadratic compare).
+3. **Communities** = the engine's own WCC over the supernode graph;
+   community id = min clique id; vertex membership = union of member
+   cliques.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from hoover_spark.operators.graph import Graph
+from hoover_spark.operators.triangles import oriented_edges
+from hoover_spark.operators.wcc import wcc
+
+
+def four_cliques(graph: Graph) -> DataFrame:
+    """(a, b, c, d) — all 4-cliques, each exactly once, vertices sorted
+    by orientation rank (degree, vid)."""
+    e = oriented_edges(graph).persist()
+    # triangles with orientation order u→v→w
+    tri = (
+        e.alias("ab")
+        .join(e.alias("bc"), F.col("ab.dst") == F.col("bc.src"))
+        .select(
+            F.col("ab.src").alias("u"), F.col("ab.dst").alias("v"), F.col("bc.dst").alias("w")
+        )
+        .join(
+            e.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+            on=["u", "w"],
+            how="left_semi",
+        )
+    )
+    # extend with x: w→x edge plus u→x and v→x closing edges
+    quads = (
+        tri.join(e.select(F.col("src").alias("w"), F.col("dst").alias("x")), on="w")
+        .join(
+            e.select(F.col("src").alias("u"), F.col("dst").alias("x")),
+            on=["u", "x"],
+            how="left_semi",
+        )
+        .join(
+            e.select(F.col("src").alias("v"), F.col("dst").alias("x")),
+            on=["v", "x"],
+            how="left_semi",
+        )
+        .select(
+            F.col("u").alias("a"), F.col("v").alias("b"), F.col("w").alias("c"), F.col("x").alias("d")
+        )
+    )
+    return quads
+
+
+def clique_percolation_communities(graph: Graph, k: int = 4) -> DataFrame:
+    """(vid, community) — vertices of percolated 4-clique communities;
+    community = min clique id (clique ids are dense ranks over the
+    sorted member tuple, deterministic at any parallelism).
+
+    Vertices in no 4-clique are absent from the result (the reference
+    likewise only labels supernode members)."""
+    assert k == 4, "reference semantics: K=4 (community_detection.cpp:33)"
+    cliques = four_cliques(graph).select(
+        F.array_sort(F.array("a", "b", "c", "d")).alias("members")
+    ).distinct()
+    # deterministic clique id = xxhash of the member tuple (internal
+    # only — the public community label is remapped to min member vid
+    # below, so results are engine-independent)
+    cliques = cliques.select(
+        F.xxhash64(F.col("members").cast("string")).alias("cid"), "members"
+    ).persist()
+
+    # 3-subset keys: drop one member at a time
+    subsets = None
+    for drop in range(4):
+        keep = [i for i in range(4) if i != drop]
+        key = F.concat_ws(
+            ":", *[F.element_at("members", i + 1).cast("string") for i in keep]
+        )
+        s = cliques.select("cid", key.alias("sub"))
+        subsets = s if subsets is None else subsets.unionByName(s)
+
+    a = subsets.select("sub", F.col("cid").alias("src"))
+    b = subsets.select("sub", F.col("cid").alias("dst"))
+    super_edges = (
+        a.join(b, on="sub")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    labels = wcc(Graph(super_edges, num_partitions=graph.num_partitions))
+    clique_comm = cliques.join(
+        labels.withColumnRenamed("vid", "cid"), on="cid", how="left"
+    ).select(F.coalesce("label", "cid").alias("comp"), "members")
+    # public community label = min member vid over the whole percolation
+    # component (hash ids stay internal — results are reproducible by
+    # any engine from the edge set alone)
+    comp_label = (
+        clique_comm.select("comp", F.element_at("members", 1).alias("m0"))
+        .groupBy("comp")
+        .agg(F.min("m0").alias("community"))
+    )
+    membership = clique_comm.join(comp_label, on="comp").select(
+        F.explode("members").alias("vid"), "community"
+    )
+    return membership.groupBy("vid").agg(F.min("community").alias("community"))

@@ -1,0 +1,122 @@
+"""Similarity search vs numpy brute-force oracle + ANN recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from hoover_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_pandas,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_ann_topk,
+)
+
+DIM = 16
+N = 120
+
+
+def _vecs() -> np.ndarray:
+    rng = np.random.RandomState(7)
+    base = rng.randn(10, DIM)
+    out = []
+    for i in range(N):
+        v = base[i % 10] + 0.05 * rng.randn(DIM)
+        out.append(v)
+    # a couple of exact near-dups
+    out[100] = out[0] + 1e-4
+    out[101] = out[1] + 1e-4
+    return np.array(out, dtype=np.float32)
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    vs = _vecs()
+    rows = [(i, vs[i].tolist()) for i in range(N)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def np_topk(k: int = 5, query_ids=None):
+    vs = _vecs().astype(np.float64)
+    vn = vs / np.linalg.norm(vs, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    out = {}
+    for q in query_ids or range(N):
+        order = sorted(
+            (i for i in range(N) if i != q), key=lambda i: (-sims[q, i], i)
+        )
+        out[q] = order[:k]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, vec_df):
+    queries = vec_df.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = cosine_topk(vec_df, queries, k=5).collect()
+    oracle = np_topk(5, range(8))
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for q in range(8):
+        ids = [v for _, v in sorted(got[q])]
+        assert ids == oracle[q], q
+
+
+def test_cosine_topk_pandas_matches(spark, vec_df):
+    vs = _vecs()
+    import pandas as pd
+
+    qpdf = pd.DataFrame({"query_id": [0, 3, 5], "embedding": [vs[i] for i in (0, 3, 5)]})
+    res = cosine_topk_pandas(vec_df, qpdf, k=5).collect()
+    oracle = np_topk(5, [0, 3, 5])
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for q in (0, 3, 5):
+        assert [v for _, v in sorted(got[q])] == oracle[q]
+
+
+def test_lsh_ann_recall(spark, vec_df):
+    queries = vec_df.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = lsh_ann_topk(vec_df, queries, k=5, n_planes=6, n_tables=4).collect()
+    oracle = np_topk(5, range(10))
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # clustered fixture → buckets capture the true neighbors well
+    hits = sum(len(got.get(q, set()) & set(oracle[q])) for q in range(10))
+    recall = hits / (10 * 5)
+    assert recall >= 0.6, recall
+
+
+def test_ivf_recall(spark, vec_df):
+    queries = vec_df.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = ivf_topk(vec_df, queries, k=5, n_lists=8, n_probe=4).collect()
+    oracle = np_topk(5, range(10))
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(got.get(q, set()) & set(oracle[q])) for q in range(10))
+    assert hits / 50 >= 0.6
+
+
+def test_embedding_near_dup_pairs(spark, vec_df):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(vec_df, threshold=0.999).collect()
+    }
+    assert (0, 100) in pairs
+    assert (1, 101) in pairs

@@ -1,0 +1,116 @@
+"""Text-analysis functions vs pure-python recomputation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoover_spark.functions.text import (
+    HASH_P,
+    STOPWORDS,
+    lang_id,
+    quality_metrics,
+    quality_score,
+    shingle_codes,
+    subword_count,
+    token_count,
+    winnow_fingerprints,
+)
+
+DOCS = [
+    (0, "the quick brown fox"),
+    (1, "a a a a a"),
+    (2, "el la de que los y mas cosas"),
+    (3, "der die und ist das haus"),
+    (4, "xyzzy plugh"),
+    (5, "one, two; three!"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, schema="doc_id long, text string")
+
+
+def test_token_counts(spark, docs_df):
+    rows = docs_df.select(
+        "doc_id",
+        token_count("text").alias("nt"),
+        subword_count("text").alias("ns"),
+    ).collect()
+    d = dict(DOCS)
+    for r in rows:
+        toks = d[r["doc_id"]].split()
+        assert r["nt"] == len(toks)
+        assert r["ns"] == sum(-(-len(t) // 4) for t in toks)
+
+
+def test_shingle_codes_match_python(spark, docs_df):
+    rows = shingle_codes(docs_df.where("doc_id = 0"), "doc_id", "text", k=5).collect()
+    text = DOCS[0][1]
+    expected = {
+        (p + 1, sum(ord(text[p + j]) * 31**j for j in range(5)))
+        for p in range(len(text) - 4)
+    }
+    assert {(r["pos"], r["code"]) for r in rows} == expected
+
+
+def test_quality_metrics(spark, docs_df):
+    rows = {r["id"]: r for r in quality_metrics(docs_df, "doc_id", "text").collect()}
+    t = dict(DOCS)
+    for i, r in rows.items():
+        toks = t[i].split()
+        assert r["n_tokens"] == len(toks)
+        stop = sum(1 for w in toks if w in STOPWORDS)
+        assert r["stopword_ratio"] == pytest.approx(stop / len(toks))
+        assert r["uniq_ratio"] == pytest.approx(len(set(toks)) / len(toks))
+    # punctuation-bearing doc
+    assert rows[5]["punct_ratio"] > 0
+    assert rows[0]["punct_ratio"] == 0.0
+
+
+def test_quality_score_bounds(spark, docs_df):
+    rows = quality_score(quality_metrics(docs_df, "doc_id", "text")).collect()
+    for r in rows:
+        assert 0.0 <= r["quality"] <= 1.0
+    by_id = {r["id"]: r["quality"] for r in rows}
+    # repetitive single-token doc scores below the diverse doc
+    assert by_id[1] < by_id[0]
+
+
+def test_lang_id(spark, docs_df):
+    rows = {r["id"]: r["pred_lang"] for r in lang_id(docs_df, "doc_id", "text").collect()}
+    assert rows[0] == "en"
+    assert rows[2] == "es"
+    assert rows[3] == "de"
+    assert rows[4] == "und"  # no markers at all
+
+
+def test_winnow_fingerprints_match_python(spark, docs_df):
+    k, w, a, b = 5, 4, 1_103_515_245, 12_345
+    rows = winnow_fingerprints(
+        docs_df.where("doc_id = 0"), "doc_id", "text", k=k, window=w
+    ).collect()
+    text = DOCS[0][1]
+    hs = [
+        (a * sum(ord(text[p + j]) * 31**j for j in range(k)) + b) % HASH_P
+        for p in range(len(text) - k + 1)
+    ]
+    expected = {min(hs[i : i + w]) for i in range(len(hs))}
+    assert {r["fp"] for r in rows} == expected
+
+
+def test_winnow_is_subset_invariant(spark, docs_df):
+    """Winnowing guarantee: shared substrings longer than k+w-1 share
+    at least one fingerprint — check on two docs with a common span."""
+    df = spark.createDataFrame(
+        [
+            (10, "prefix AAA common span of text here BBB"),
+            (11, "zzz common span of text here qqq end"),
+        ],
+        schema="doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text").collect()
+    a = {r["fp"] for r in fps if r["id"] == 10}
+    b = {r["fp"] for r in fps if r["id"] == 11}
+    assert a & b
