@@ -117,7 +117,11 @@ def minhash_lsh_pairs(
     are dropped (boilerplate guard; at web scale one viral page must
     not produce a quadratic bucket)."""
     assert n_hashes % band_size == 0
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, k=k)
+    # materialize the signature table once — every band branch and the
+    # bucket-size filter re-reads it; without this the shingle explosion
+    # + 12-way min agg re-runs per DAG branch (measured 5× wall at high
+    # core counts where exchange reuse missed).
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, k=k).localCheckpoint()
     n_bands = n_hashes // band_size
     band_rows = None
     for bnd in range(n_bands):
@@ -172,6 +176,8 @@ def ngram_jaccard(
         )
         .where(F.size(t) >= n)
         .distinct()
+        # referenced by counts + both join sides — materialize once
+        .localCheckpoint()
     )
     counts = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     ga = grams.select(F.col("id").alias("id_a"), "gram")
@@ -255,7 +261,7 @@ def simhash_near_pairs(
     Candidate generation by the standard block-split trick: split the
     signature into (max_hamming+1) blocks; any pair within distance d
     agrees on ≥1 block — equi-join per block, verify with bit_count."""
-    sigs = simhash(df, id_col, text_col, n_bits=n_bits)
+    sigs = simhash(df, id_col, text_col, n_bits=n_bits).localCheckpoint()
     n_blocks = max_hamming + 1
     block_bits = n_bits // n_blocks
     rows = None

@@ -47,7 +47,7 @@ def mode_label_propagation(
     spark = graph.edges.sparkSession
     loop = loop or IterationLoop(spark, kernel="mode_lp", max_iterations=n_iterations)
 
-    edges = graph.symmetric().repartition(graph.num_partitions, "src").persist()
+    edges = graph.sym_edges()
     labels = loop.hold(
         graph.vertices().select(F.col("vid"), F.col("vid").alias("label"))
     )
@@ -88,6 +88,4 @@ def mode_label_propagation(
         if int(stats["changed"] or 0) == 0:
             break
 
-    result = loop.finish(labels.select("vid", "label"), n_iterations)
-    edges.unpersist()
-    return result
+    return loop.finish(labels.select("vid", "label"), n_iterations)

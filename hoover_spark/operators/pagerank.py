@@ -70,7 +70,7 @@ def pagerank(
         max_iterations=n_iterations or max_iterations,
     )
 
-    edges = graph.cleaned().repartition(graph.num_partitions, "src").persist()
+    edges = graph.clean_edges()
     verts = graph.vertices().persist()
     n = verts.count()
     out_deg = (
@@ -90,7 +90,19 @@ def pagerank(
             ranks = initial_ranks.select("vid", "rank")
         else:
             ranks = verts.select("vid", F.lit(1.0 / n).alias("rank"))
-        ranks = loop.hold(ranks)
+
+    # State carries the static out-degree (null = dangling): kills the
+    # per-iteration degree join, and lets the end-of-iteration stats
+    # aggregation compute next iteration's dangling mass in the same
+    # pass — one heavy job + one tiny agg job per iteration total
+    # (the reference's coupled-metric reduction folded the same way,
+    # src/hoover.cpp:2819-3180).
+    state = loop.hold(ranks.join(out_deg, on="vid", how="left"))
+    dangling = (
+        state.where(F.col("out_deg").isNull())
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+        .collect()[0][0]
+    )
 
     base = (1.0 - alpha) / n
     it = start_iter
@@ -98,16 +110,8 @@ def pagerank(
     while it < loop.max_iterations:
         it += 1
 
-        # rank/out_deg per source; vertices absent from out_deg are dangling.
-        ranked = ranks.join(out_deg, on="vid", how="left")
-        dangling = (
-            ranked.where(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-        )
-
         contribs = edges.join(
-            ranked.where(F.col("out_deg").isNotNull()).select(
+            state.where(F.col("out_deg").isNotNull()).select(
                 F.col("vid").alias("src"),
                 (F.col("rank") / F.col("out_deg")).alias("w"),
             ),
@@ -128,9 +132,10 @@ def pagerank(
             )
 
         stepped = (
-            ranks.join(sums.withColumnRenamed("dst", "vid"), on="vid", how="left")
+            state.join(sums.withColumnRenamed("dst", "vid"), on="vid", how="left")
             .select(
                 "vid",
+                "out_deg",
                 F.col("rank").alias("prev_rank"),
                 (
                     F.lit(base)
@@ -140,16 +145,20 @@ def pagerank(
                 F.coalesce("msg_cnt", F.lit(0)).alias("msg_cnt"),
             )
         )
-        new_ranks = loop.hold(stepped)
+        new_state = loop.hold(stepped)
 
-        stats = new_ranks.agg(
+        stats = new_state.agg(
             F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
             F.sum((F.abs(F.col("rank") - F.col("prev_rank")) > tol).cast("long")).alias(
                 "active"
             ),
             F.sum("msg_cnt").alias("shuffled"),
+            F.sum(
+                F.when(F.col("out_deg").isNull(), F.col("rank")).otherwise(F.lit(0.0))
+            ).alias("next_dangling"),
         ).collect()[0]
         delta = float(stats["delta"] or 0.0)
+        dangling = float(stats["next_dangling"] or 0.0)
         loop.log(
             iteration=it,
             rows_shuffled=int(stats["shuffled"] or 0),
@@ -158,13 +167,16 @@ def pagerank(
             wall_ms=watch.lap_ms(),
         )
 
-        ranks = new_ranks.select("vid", "rank")
-        ranks = loop.save_state(ranks, it)
+        state = new_state.select("vid", "out_deg", "rank")
+        proj = state.select("vid", "rank")
+        saved = loop.save_state(proj, it)
+        if saved is not proj:
+            # state was durably checkpointed; rebuild the carried degree
+            state = saved.join(out_deg, on="vid", how="left")
         if n_iterations is None and delta < tol:
             break
 
-    result = loop.finish(ranks.select("vid", "rank"), it)
-    edges.unpersist()
+    result = loop.finish(state.select("vid", "rank"), it)
     verts.unpersist()
     out_deg.unpersist()
     return result

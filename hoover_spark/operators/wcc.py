@@ -71,7 +71,7 @@ def wcc(
         max_iterations=max_iterations,
     )
 
-    edges = graph.symmetric().repartition(graph.num_partitions, "src").persist()
+    edges = graph.sym_edges()
 
     start_iter = 0
     labels = None
@@ -86,7 +86,9 @@ def wcc(
             labels = graph.vertices().select(
                 F.col("vid"), F.col("vid").alias("label")
             )
-        labels = loop.hold(labels)
+    # keep state hash-partitioned by vid across iterations so the
+    # labels ⟕ mins join only shuffles the (smaller) message side
+    labels = loop.hold(labels.repartition(graph.num_partitions, "vid"))
 
     # Initially every vertex is "dirty" (reference: iteration-0 full send,
     # send_all_vertices_in_partition, src/hoover.cpp:1517-1533) — unless a
@@ -159,6 +161,4 @@ def wcc(
             "vid", "label"
         )
 
-    result = loop.finish(labels.select("vid", "label"), it)
-    edges.unpersist()
-    return result
+    return loop.finish(labels.select("vid", "label"), it)

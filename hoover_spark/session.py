@@ -22,8 +22,18 @@ _DEFAULTS = {
     # Iterative graph jobs build long lineages; keep plans printable.
     "spark.sql.ui.explainMode": "formatted",
     "spark.ui.enabled": "false",
-    # Broadcast threshold: small dimension/degree tables should broadcast.
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Broadcast threshold: genuinely small dimension tables broadcast;
+    # anything bigger shuffles. 64 MB proved harmful — building a
+    # million-entry hashed relation is single-threaded on the driver,
+    # a serial phase that swamps scaling (measured 2x on iterative
+    # kernels). AQE still upgrades joins to broadcast from runtime
+    # stats when a side is truly small.
+    "spark.sql.autoBroadcastJoinThreshold": str(8 * 1024 * 1024),
+    # Iterative kernels join the same cached edge table every round on
+    # the same key — a shuffled hash join skips SMJ's per-iteration
+    # re-sort of the big side (AQE still overrides per-stage when
+    # stats favor it).
+    "spark.sql.join.preferSortMergeJoin": "false",
 }
 
 
