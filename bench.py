@@ -41,9 +41,9 @@ def main() -> None:
 
     spark = get_spark("hoover_spark_bench", cores=cpus)
 
-    # size the synthetic repos corpus off the sf dir (≈10 files/customer)
+    # size the synthetic repos corpus off the sf dir (≈20 files/customer)
     n_customers = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
-    n_repo_rows = max(n_customers * 10, 2000)
+    n_repo_rows = max(n_customers * 20, 2000)
     sf = {150: 0.001, 1500: 0.01, 15000: 0.1}.get(n_customers, n_customers / 150_000)
 
     timings: dict[str, float] = {}
@@ -60,15 +60,16 @@ def main() -> None:
 
         return _T()
 
-    # -- stage E: edge extraction from the synthesized source table --------
+    # -- stage E: edge extraction + edge-view materialization --------------
+    graph = None
     with timed("edge_extract"):
         repos = repos_table(spark, n_repo_rows).persist()
-        edges = ref_edges(repos).persist()
-        n_edges = edges.count()
+        edges = ref_edges(repos)
+        graph = Graph(edges, num_partitions=max(2 * cpus, 16))
+        n_edges = graph.clean_edges().count()
+        graph.sym_edges().count()
     extras["n_repo_rows"] = n_repo_rows
     extras["n_edges"] = n_edges
-
-    graph = Graph(edges, num_partitions=max(2 * cpus, 16))
 
     # -- PageRank to 1e-6 (headline: edges/sec) ----------------------------
     with timed("pagerank"):
@@ -103,7 +104,7 @@ def main() -> None:
         cosine_topk(emb, queries, k=10).count()
 
     repos.unpersist()
-    edges.unpersist()
+    graph.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(

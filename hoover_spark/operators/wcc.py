@@ -123,6 +123,11 @@ def wcc(
 
         # 2. pointer jumping: label <- min(label, label(label)).
         if pointer_jumping:
+            # materialize first — the self-join reads `stepped` on BOTH
+            # sides; without this the message join + min-agg subtree
+            # executes twice per iteration (exchange reuse is not
+            # guaranteed under AQE)
+            stepped = loop.hold(stepped)
             lookup = stepped.select(
                 F.col("vid").alias("j_vid"), F.col("label").alias("j_label")
             )

@@ -55,8 +55,10 @@ class IterationLoop:
         lineage so iteration N's plan does not contain iterations 0..N-1."""
         out = df.localCheckpoint(eager=True)
         self._persisted.append(out)
-        # Keep at most the two most recent states in memory.
-        while len(self._persisted) > 2:
+        # Keep the three most recent states in memory (an iteration may
+        # hold an intermediate plus its result while the previous
+        # iteration's state is still referenced by the running plan).
+        while len(self._persisted) > 3:
             old = self._persisted.pop(0)
             try:
                 old.unpersist()

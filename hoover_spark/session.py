@@ -55,6 +55,17 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 8)
 
+    # Shuffle/spill files on tmpfs when available: the sandbox's virtual
+    # disk has multi-x latency variance; a real cluster pairs executors
+    # with local NVMe. Harmless to skip when /dev/shm is absent.
+    local_dir = None
+    if os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        try:
+            os.makedirs(local_dir, exist_ok=True)
+        except OSError:
+            local_dir = None
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -64,6 +75,8 @@ def get_spark(
     )
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
+    if local_dir is not None:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -84,26 +84,36 @@ def rmat_graph(
     matrix model. Pure column expressions: generation is fully
     distributed, reproducible at any parallelism, and scales linearly —
     this is how we synthesize 10^9-edge inputs without ever collecting
-    to the driver."""
+    to the driver.
+
+    Draws are 8-bit slices packed 8-per-xxhash64 (2·scale draws need
+    ceil(scale/4) hashes per edge instead of 2·scale — 7× cheaper
+    generation at scale 22, same distribution at 1/256 probability
+    resolution)."""
     n_edges = edge_factor << scale
 
-    def unit_hash(col, salt: str):
-        # xxhash64 → [0,1): shift to 53-bit non-negative mantissa range.
-        h = F.xxhash64(col, F.lit(salt))
-        return (F.shiftright(h, 11).cast("double") + F.lit(2.0**52)) / F.lit(2.0**53)
-
     df = spark.range(n_edges).select(F.col("id").alias("eid"))
+    n_draws = 2 * scale
+    hashes = [
+        F.xxhash64(F.col("eid"), F.lit(f"h{k}")) for k in range((n_draws + 7) // 8)
+    ]
+
+    def draw(idx: int):
+        """8-bit uniform draw in [0, 256)."""
+        h = hashes[idx // 8]
+        return F.shiftright(h, 8 * (idx % 8)).bitwiseAND(F.lit(255))
+
     src = F.lit(0).cast("long")
     dst = F.lit(0).cast("long")
     for level in range(scale):
-        u = unit_hash(F.col("eid"), f"u{level}")
-        v = unit_hash(F.col("eid"), f"v{level}")
+        u = draw(2 * level)
+        v = draw(2 * level + 1)
         # P(src bit = 1) = c + d when we split rows (a+b | c+d) first.
-        src_bit = (u >= F.lit(a + b)).cast("long")
+        src_bit = (u >= F.lit(int((a + b) * 256))).cast("long")
         # column split within the chosen row block.
-        p_right = F.when(src_bit == 0, F.lit(b / (a + b))).otherwise(
-            F.lit((1.0 - a - b - c) / (1.0 - a - b))
-        )
+        p_right = F.when(
+            src_bit == 0, F.lit(int(b / (a + b) * 256))
+        ).otherwise(F.lit(int((1.0 - a - b - c) / (1.0 - a - b) * 256)))
         dst_bit = (v < p_right).cast("long")
         src = src + src_bit * F.lit(1 << level)
         dst = dst + dst_bit * F.lit(1 << level)

@@ -161,6 +161,7 @@ class IncrementalGraphState:
             state = pagerank(graph, loop=loop, initial_ranks=warm, **self.kernel_kwargs)
 
         self._state = self._save_state(state)
+        graph.unpersist()  # release this batch's cached edge views
         self.batches_applied += 1
         self._log(batch_id, n_fresh, len(loop.metrics), time.perf_counter() - t0)
 

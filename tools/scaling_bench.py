@@ -1,0 +1,148 @@
+"""Two-parallelism scaling evidence (north rule: throughput scaling
+efficiency ≥0.8 from N to 4N executors, sandboxed as local[8] vs
+local[32] on identical input).
+
+Method:
+- inputs are pre-generated ONCE to parquet on tmpfs (identical bytes
+  for every configuration);
+- each (cores, rep) runs in a fresh JVM; the timed section runs twice
+  per JVM and the warm (second) wall is kept;
+- configurations alternate (8, 32, 8, 32, ...) across reps and the
+  per-config MEDIAN of warm walls is reported — the sandbox hypervisor
+  exhibits intermittent CPU steal (observed up to 9 of 32 cores), so
+  single runs are unreliable in either direction.
+
+Workloads:
+- edge_extract: regexp reference extraction over 2M synthesized source
+  files (CPU-bound scan)
+- pagerank3:    3 PageRank iterations on RMAT scale-21 (~16.7M edges)
+- wcc5:         5 hash-min+jump iterations on the same graph
+- minhash:      MinHash signatures + LSH banding over documents x100
+
+Writes bench_scaling.json; BENCH.md summarizes.
+
+Usage: python tools/scaling_bench.py [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+PREP = r"""
+import os
+from hoover_spark.session import get_spark
+from pyspark.sql import functions as F
+from hoover_spark.operators.graph import Graph
+from hoover_spark.sources.repos import repos_table
+from hoover_spark.sources.synthetic import rmat_graph
+spark = get_spark("scaling_prep", cores=32, extra_conf={"spark.ui.showConsoleProgress": "false"})
+base = "/dev/shm/scaling_inputs"
+if not os.path.exists(base + "/_DONE"):
+    rg = rmat_graph(spark, scale=21, edge_factor=8)
+    g = Graph(rg.edges, num_partitions=128)
+    g.clean_edges().write.mode("overwrite").parquet(base + "/rmat_clean")
+    g.sym_edges().write.mode("overwrite").parquet(base + "/rmat_sym")
+    repos_table(spark, 2_000_000, num_partitions=128).write.mode("overwrite").parquet(base + "/repos")
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    docs.crossJoin(spark.range(100).select(F.col("id").alias("rep"))).select(
+        (F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"), "text"
+    ).repartition(128).write.mode("overwrite").parquet(base + "/docs100")
+    open(base + "/_DONE", "w").close()
+print("PREP_OK", flush=True)
+"""
+
+WORKER = r"""
+import json, sys, time
+cores = int(sys.argv[1])
+from hoover_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark("scaling", cores=cores, extra_conf={"spark.ui.showConsoleProgress": "false"})
+
+from hoover_spark.operators.graph import Graph
+from hoover_spark.operators.pagerank import pagerank
+from hoover_spark.operators.wcc import wcc
+from hoover_spark.operators.dedup import minhash_lsh_pairs
+from hoover_spark.sources.repos import ref_edges
+
+base = "/dev/shm/scaling_inputs"
+out = {}
+
+def timed2(fn):
+    fn()
+    t0 = time.perf_counter(); fn()
+    return round(time.perf_counter() - t0, 2)
+
+repos = spark.read.parquet(base + "/repos").persist(); repos.count()
+out["edge_extract"] = {"wall": timed2(lambda: ref_edges(repos).count()), "work": 2_000_000}
+repos.unpersist()
+
+clean = spark.read.parquet(base + "/rmat_clean")
+sym = spark.read.parquet(base + "/rmat_sym")
+g = Graph(clean, num_partitions=4 * cores)
+g._cache["clean_part"] = clean.repartition(4 * cores, "src").persist()
+g._cache["sym_part"] = sym.repartition(4 * cores, "src").persist()
+ne = g.clean_edges().count(); ns = g.sym_edges().count()
+out["pagerank3"] = {"wall": timed2(lambda: pagerank(g, n_iterations=3).count()), "work": 3 * ne}
+out["wcc5"] = {"wall": timed2(lambda: wcc(g, max_iterations=5).count()), "work": 5 * ns}
+g.unpersist()
+
+docs = spark.read.parquet(base + "/docs100").persist(); nd = docs.count()
+out["minhash"] = {"wall": timed2(lambda: minhash_lsh_pairs(docs, "doc_id", "text").count()), "work": nd}
+
+print("RESULT " + json.dumps(out), flush=True)
+"""
+
+
+def run(script: str, cores: int, tag: str) -> dict | None:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), HOOVER_SPARK_DRIVER_MEM="32g")
+    p = subprocess.run(
+        [sys.executable, "-c", script, str(cores)],
+        capture_output=True, text=True, env=env, timeout=2400,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+        if line.startswith("PREP_OK"):
+            return {}
+    raise RuntimeError(f"{tag} cores={cores} failed:\n{p.stdout[-1500:]}\n{p.stderr[-1500:]}")
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
+    print("preparing inputs ...", flush=True)
+    run(PREP, 32, "prep")
+
+    results: dict[int, list[dict]] = {8: [], 32: []}
+    for r in range(reps):
+        for cores in (8, 32):
+            print(f"rep {r} cores {cores} ...", flush=True)
+            results[cores].append(run(WORKER, cores, "worker"))
+            print(f"  -> { {k: v['wall'] for k, v in results[cores][-1].items()} }", flush=True)
+
+    summary = {}
+    for wl in ("edge_extract", "pagerank3", "wcc5", "minhash"):
+        best = {}
+        for cores in (8, 32):
+            walls = [rr[wl]["wall"] for rr in results[cores]]
+            work = results[cores][0][wl]["work"]
+            med = statistics.median(walls)
+            best[cores] = {"median_wall": med, "all_walls": walls,
+                           "throughput": round(work / med, 1)}
+        speedup = best[8]["median_wall"] / best[32]["median_wall"]
+        summary[wl] = {
+            **{f"c{c}": best[c] for c in (8, 32)},
+            "speedup_8_to_32": round(speedup, 2),
+            "efficiency": round(speedup / 4.0, 2),
+        }
+    with open("bench_scaling.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
