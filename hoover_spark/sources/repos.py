@@ -81,8 +81,14 @@ def _import_line(lang: Column, tok_mod: Column, tok_name: Column, t: int) -> Col
     )
 
 
-def _content_expr(i: Column, n_rows: int) -> Column:
-    """Closed-form file body: header, 0-3 import lines, hash-derived pad."""
+def _content_expr(i: Column, n_rows: int, pad_repeats: int = 1) -> Column:
+    """Closed-form file body: header, 0-3 import lines, hash-derived pad.
+
+    ``pad_repeats`` scales the comment-pad body (~64 chars per repeat)
+    so benchmarks can generate realistically-sized source files (the
+    default tiny pad keeps unit tests fast). Still a pure expression of
+    the row index — determinism and the sha256 invariant hold at any
+    size."""
     lang = _lang_expr(i)
     path = _path_expr(i)
     n_refs = _n_refs_expr(i)
@@ -96,6 +102,8 @@ def _content_expr(i: Column, n_rows: int) -> Column:
         1,
         (F.pmod(i, F.lit(48)) + 8).cast("int"),
     )
+    if pad_repeats > 1:
+        pad = F.repeat(F.concat(pad, F.lit("\n// ")), pad_repeats)
     pieces.append(F.concat(F.lit("\n// "), pad, F.lit("\n")))
     return F.concat(*pieces)
 
@@ -120,7 +128,12 @@ def _repo_expr(i: Column) -> Column:
     )
 
 
-def repos_table(spark: SparkSession, n_rows: int, num_partitions: int | None = None) -> DataFrame:
+def repos_table(
+    spark: SparkSession,
+    n_rows: int,
+    num_partitions: int | None = None,
+    pad_repeats: int = 1,
+) -> DataFrame:
     """Generate ``repos(repo, path, commit, lang, content)`` — FIXTURES.md §1."""
     rng = spark.range(n_rows, numPartitions=num_partitions or max(8, n_rows // 500_000))
     i = F.col("id")
@@ -132,7 +145,7 @@ def repos_table(spark: SparkSession, n_rows: int, num_partitions: int | None = N
             F.sha2(F.concat(repo, F.lit(":"), i.cast("string")), 256), 1, 40
         ).alias("commit"),
         _lang_expr(i).alias("lang"),
-        _content_expr(i, n_rows).alias("content"),
+        _content_expr(i, n_rows, pad_repeats).alias("content"),
     )
 
 
@@ -140,14 +153,14 @@ def repos_table(spark: SparkSession, n_rows: int, num_partitions: int | None = N
 # per-row invariant: sha2(content) vs generator recomputation (north rule)
 # ---------------------------------------------------------------------------
 
-def verify_content_sha256(repos: DataFrame, n_rows: int) -> DataFrame:
+def verify_content_sha256(repos: DataFrame, n_rows: int, pad_repeats: int = 1) -> DataFrame:
     """Rows whose stored content hash differs from the generator's
     recomputation (row index recovered from ``path``). Empty ⇔ intact.
 
     Runs entirely JVM-side: recompute the content expression from the
     parsed index and compare ``sha2(·,256)`` — one scan, no shuffle."""
     i = F.regexp_extract("path", r"/f(\d+)\.", 1).cast("long")
-    expected = F.sha2(_content_expr(i, n_rows), 256)
+    expected = F.sha2(_content_expr(i, n_rows, pad_repeats), 256)
     actual = F.sha2(F.col("content"), 256)
     return repos.select(
         "repo", "path", actual.alias("sha_actual"), expected.alias("sha_expected")

@@ -17,7 +17,7 @@ Workloads:
   files (CPU-bound scan)
 - pagerank3:    3 PageRank iterations on RMAT scale-21 (~16.7M edges)
 - wcc5:         5 hash-min+jump iterations on the same graph
-- minhash:      MinHash signatures + LSH banding over documents x100
+- minhash:      MinHash signatures over documents x40 (200k docs)
 
 Writes bench_scaling.json; BENCH.md summarizes.
 
@@ -48,8 +48,12 @@ if not os.path.exists(base + "/_DONE"):
     g.sym_edges().write.mode("overwrite").parquet(base + "/rmat_sym")
     repos_table(spark, 2_000_000, num_partitions=128).write.mode("overwrite").parquet(base + "/repos")
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    docs.crossJoin(spark.range(100).select(F.col("id").alias("rep"))).select(
-        (F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"), "text"
+    # replicate with a per-copy prefix so copies are NOT near-dups of
+    # each other — signature work scales linearly, LSH buckets stay small
+    docs.crossJoin(spark.range(40).select(F.col("id").alias("rep"))).select(
+        (F.col("doc_id") * 40 + F.col("rep")).alias("doc_id"),
+        F.concat(F.lit("v"), F.col("rep").cast("string"), F.lit("x "),
+                 F.col("text")).alias("text"),
     ).repartition(128).write.mode("overwrite").parquet(base + "/docs100")
     open(base + "/_DONE", "w").close()
 print("PREP_OK", flush=True)
@@ -65,7 +69,7 @@ spark = get_spark("scaling", cores=cores, extra_conf={"spark.ui.showConsoleProgr
 from hoover_spark.operators.graph import Graph
 from hoover_spark.operators.pagerank import pagerank
 from hoover_spark.operators.wcc import wcc
-from hoover_spark.operators.dedup import minhash_lsh_pairs
+from hoover_spark.operators.dedup import minhash_signatures
 from hoover_spark.sources.repos import ref_edges
 
 base = "/dev/shm/scaling_inputs"
@@ -91,7 +95,7 @@ out["wcc5"] = {"wall": timed2(lambda: wcc(g, max_iterations=5).count()), "work":
 g.unpersist()
 
 docs = spark.read.parquet(base + "/docs100").persist(); nd = docs.count()
-out["minhash"] = {"wall": timed2(lambda: minhash_lsh_pairs(docs, "doc_id", "text").count()), "work": nd}
+out["minhash"] = {"wall": timed2(lambda: minhash_signatures(docs, "doc_id", "text").count()), "work": nd}
 
 print("RESULT " + json.dumps(out), flush=True)
 """
