@@ -160,6 +160,13 @@ def q_wcc_components(spark, sf_dir):
     return wcc(g, spark=spark).select("vid", "label")
 
 
+def q_wcc_two_phase(spark, sf_dir):
+    from hoover_spark.operators.wcc import wcc_two_phase
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return wcc_two_phase(g, spark=spark).select("vid", "label")
+
+
 def q_wcc_sizes(spark, sf_dir):
     g = Graph(_customer_edges(spark, sf_dir))
     return (
@@ -452,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_derivation": q_edge_derivation,
         "graph_degrees": q_graph_degrees,
         "wcc_components": q_wcc_components,
+        "wcc_two_phase": q_wcc_two_phase,
         "wcc_sizes": q_wcc_sizes,
         "pagerank_3iter": q_pagerank_3iter,
         "minlabel_2iter": q_minlabel_2iter,
@@ -617,6 +625,15 @@ WITH {_CUSTOMER_EDGES_SQL}
 SELECT src AS vid, count(*) AS degree FROM sym GROUP BY 1
 """,
         "wcc_components": f"""
+WITH RECURSIVE {_CUSTOMER_EDGES_SQL},
+reach(vid, r) AS (
+  SELECT vid, vid FROM v
+  UNION
+  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.vid
+)
+SELECT vid, min(r) AS label FROM reach GROUP BY vid
+""",
+        "wcc_two_phase": f"""
 WITH RECURSIVE {_CUSTOMER_EDGES_SQL},
 reach(vid, r) AS (
   SELECT vid, vid FROM v

@@ -167,3 +167,77 @@ def wcc(
         )
 
     return loop.finish(labels.select("vid", "label"), it)
+
+
+def local_contract(edges, num_partitions: int = 32):
+    """Per-partition union-find contraction: (vid, root) mapping.
+
+    Each task runs an array-based union-find over its partition's edge
+    block (Arrow batch via ``mapPartitions``-style ``mapInPandas``) —
+    the per-partition-CSR compute pattern of the north rule. Intra-
+    partition paths collapse to depth 1 *before* any shuffle iteration,
+    so the distributed hash-min rounds that follow only resolve
+    cross-partition merges. Roots are the min vid of each local set,
+    keeping the mapping composable with hash-min (monotone min).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType(), False),
+            T.StructField("root", T.LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+                rs, rd = find(int(s)), find(int(d))
+                if rs != rd:
+                    parent[max(rs, rd)] = min(rs, rd)
+        vids = np.fromiter(parent.keys(), dtype=np.int64)
+        roots = np.fromiter((find(int(v)) for v in vids), dtype=np.int64)
+        yield pd.DataFrame({"vid": vids, "root": roots})
+
+    # keep EVERY (vid, root) pair: a vertex seen in several partitions
+    # links its per-partition roots together — collapsing to one root
+    # here would disconnect components that only meet through it.
+    return (
+        edges.repartition(num_partitions, "src")
+        .mapInPandas(run, schema=schema)
+        .distinct()
+    )
+
+
+def wcc_two_phase(graph: Graph, spark: SparkSession | None = None, **kwargs) -> DataFrame:
+    """Two-phase WCC: per-partition union-find contraction, then
+    hash-min+pointer-jumping on the (much smaller) mapping graph, then
+    one broadcast-back join.
+
+    At 100 TB this is the preferred plan: phase 1 touches each edge
+    exactly once with zero shuffle rounds; the iterative phase runs on
+    a star-forest of ≤|V| edges whose diameter is the number of
+    cross-partition hops, not the graph diameter."""
+    spark = spark or graph.edges.sparkSession
+    mapping = local_contract(graph.sym_edges(), graph.num_partitions)
+    # mapping edges (vid -> root) form a star forest per partition;
+    # hash-min over it resolves cross-partition components.
+    star = Graph(
+        mapping.select(F.col("vid").alias("src"), F.col("root").alias("dst")),
+        num_partitions=graph.num_partitions,
+    )
+    resolved = wcc(star, spark=spark, **kwargs)
+    star.unpersist()
+    return resolved
