@@ -410,6 +410,30 @@ def q_midas_scores(spark, sf_dir):
     )
 
 
+def q_gcn_aggregate(spark, sf_dir):
+    """First component of the symmetric-normalized GCN aggregation
+    Â·X over a modular graph on embedding ids (reference analogue:
+    per-vertex A·X·W gather, ``test/gcn.cpp:63-70``)."""
+    from hoover_spark.operators.gcn import aggregate_features
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = F.col("vec_id")
+    e = (
+        emb.select(k.alias("src"), F.pmod(k * 31 + 17, F.lit(n)).alias("dst"))
+        .unionByName(emb.select(k.alias("src"), F.pmod(k * 57 + 23, F.lit(n)).alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    g = Graph(e, num_partitions=16)
+    feats = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("h"),
+    )
+    agg = aggregate_features(g, feats)
+    return agg.select("vid", F.round(F.element_at("h", 1), 6).alias("h0"))
+
+
 # -- rows-only entries (no SQL oracle: iterative/streaming/ANN) -------------
 
 def q_repos_wcc(spark, sf_dir):
@@ -484,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clique_communities": q_clique_communities,
         "cms_estimates": q_cms_estimates,
         "midas_scores": q_midas_scores,
+        "gcn_aggregate": q_gcn_aggregate,
         "repos_wcc": q_repos_wcc,
         "lsh_ann_topk": q_lsh_ann_topk,
         "multimodal_features": q_multimodal_features,
@@ -815,6 +840,28 @@ SELECT c.window_start, user_id, event_type, a, s, t,
                   THEN pow(a - s * 1.0 / t, 2) * t * t / (s * (t - 1))
                   ELSE 0.0 END, 6) AS score
 FROM cum c JOIN wins USING (window_start)
+""",
+        "gcn_aggregate": """
+WITH en AS (SELECT count(*) AS n FROM embeddings),
+e0 AS (
+  SELECT src, dst FROM (
+    SELECT vec_id AS src, (vec_id*31+17) % (SELECT n FROM en) AS dst FROM embeddings
+    UNION
+    SELECT vec_id AS src, (vec_id*57+23) % (SELECT n FROM en) AS dst FROM embeddings
+  ) WHERE src <> dst
+),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS vid, count(*) AS d FROM sym GROUP BY 1),
+x AS (SELECT vec_id AS vid, CAST(embedding[1] AS DOUBLE) AS x0 FROM embeddings),
+nx AS (SELECT x.vid, x.x0 / sqrt(deg.d + 1) AS hn, deg.d FROM x JOIN deg ON x.vid = deg.vid),
+msgs AS (
+  SELECT sym.dst AS vid, nx.hn FROM sym JOIN nx ON sym.src = nx.vid
+  UNION ALL
+  SELECT vid, hn FROM nx
+),
+s AS (SELECT vid, sum(hn) AS hsum FROM msgs GROUP BY 1)
+SELECT s.vid, round(s.hsum / sqrt(deg.d + 1), 6) AS h0
+FROM s JOIN deg ON s.vid = deg.vid
 """,
         "sessionize": """
 WITH o AS (
