@@ -410,6 +410,26 @@ def q_midas_scores(spark, sf_dir):
     )
 
 
+def q_spatial_join(spark, sf_dir):
+    """Implicit-edge discovery (grid-pruned radius self-join) on
+    deterministic 3-D points derived from customer keys. The DuckDB
+    oracle brute-forces all pairs — an independent method, so this
+    checks the pruning logic, not just the arithmetic."""
+    from hoover_spark.operators.spatial import implicit_edges
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        k.alias("id"),
+        (F.pmod(k * 37 + 11, F.lit(997)) / 997.0).alias("x"),
+        (F.pmod(k * 53 + 29, F.lit(997)) / 997.0).alias("y"),
+        (F.pmod(k * 71 + 41, F.lit(997)) / 997.0).alias("z"),
+    )
+    return implicit_edges(pts, "id", ["x", "y", "z"], 0.08).select(
+        "id_a", "id_b", F.round("dist", 6).alias("dist")
+    )
+
+
 def q_gcn_aggregate(spark, sf_dir):
     """First component of the symmetric-normalized GCN aggregation
     Â·X over a modular graph on embedding ids (reference analogue:
@@ -509,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_estimates": q_cms_estimates,
         "midas_scores": q_midas_scores,
         "gcn_aggregate": q_gcn_aggregate,
+        "spatial_join": q_spatial_join,
         "repos_wcc": q_repos_wcc,
         "lsh_ann_topk": q_lsh_ann_topk,
         "multimodal_features": q_multimodal_features,
@@ -840,6 +861,19 @@ SELECT c.window_start, user_id, event_type, a, s, t,
                   THEN pow(a - s * 1.0 / t, 2) * t * t / (s * (t - 1))
                   ELSE 0.0 END, 6) AS score
 FROM cum c JOIN wins USING (window_start)
+""",
+        "spatial_join": """
+WITH p AS (
+  SELECT c_custkey AS id,
+         ((c_custkey*37+11) % 997) / 997.0 AS x,
+         ((c_custkey*53+29) % 997) / 997.0 AS y,
+         ((c_custkey*71+41) % 997) / 997.0 AS z
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z)), 6) AS dist
+FROM p a JOIN p b ON a.id < b.id
+WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) <= 0.08*0.08
 """,
         "gcn_aggregate": """
 WITH en AS (SELECT count(*) AS n FROM embeddings),
