@@ -33,6 +33,29 @@ from hoover_spark.operators.triangles import oriented_edges
 from hoover_spark.operators.wcc import wcc
 
 
+def detect_communities_from_points(
+    points: DataFrame,
+    radius: float,
+    id_col: str = "id",
+    coord_cols: tuple = ("x", "y", "z"),
+    k: int = 4,
+) -> DataFrame:
+    """The reference's full community-detection pipeline end-to-end
+    (``test/community_detection.cpp``): point cloud → implicit edges by
+    Euclidean radius (grid-pruned spatial join) → k-clique percolation
+    → (vid, community). One declarative plan; each stage is the
+    operator documented in its own module."""
+    from hoover_spark.operators.spatial import implicit_edges
+
+    edges = implicit_edges(points, id_col, list(coord_cols), radius).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    g = Graph(edges, num_partitions=16)
+    result = clique_percolation_communities(g, k=k)
+    g.unpersist()
+    return result
+
+
 def four_cliques(graph: Graph) -> DataFrame:
     """(a, b, c, d) — all 4-cliques, each exactly once, vertices sorted
     by orientation rank (degree, vid)."""
