@@ -192,24 +192,27 @@ def local_contract(edges, num_partitions: int = 32):
     )
 
     def run(batches):
-        parent: dict[int, int] = {}
-
-        def find(x):
-            r = x
-            while parent.setdefault(r, r) != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        for pdf in batches:
-            for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
-                rs, rd = find(int(s)), find(int(d))
-                if rs != rd:
-                    parent[max(rs, rd)] = min(rs, rd)
-        vids = np.fromiter(parent.keys(), dtype=np.int64)
-        roots = np.fromiter((find(int(v)) for v in vids), dtype=np.int64)
-        yield pd.DataFrame({"vid": vids, "root": roots})
+        chunks = [pdf for pdf in batches if not pdf.empty]
+        if not chunks:
+            yield pd.DataFrame({"vid": np.array([], dtype=np.int64),
+                                "root": np.array([], dtype=np.int64)})
+            return
+        src = np.concatenate([c["src"].to_numpy() for c in chunks])
+        dst = np.concatenate([c["dst"].to_numpy() for c in chunks])
+        # dense local ids; fully vectorized min-propagation with pointer
+        # jumping (no per-row Python — the same no-per-row mandate the
+        # rest of the engine follows)
+        vids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        s_idx, d_idx = inv[: len(src)], inv[len(src):]
+        label = np.arange(len(vids), dtype=np.int64)
+        for _ in range(64):  # ~log(diameter) with jumping; any prefix is
+            prev = label.copy()  # still a CORRECT (conservative) refinement
+            np.minimum.at(label, d_idx, label[s_idx])
+            np.minimum.at(label, s_idx, label[d_idx])
+            label = label[label]  # pointer jump
+            if np.array_equal(label, prev):
+                break
+        yield pd.DataFrame({"vid": vids, "root": vids[label]})
 
     # keep EVERY (vid, root) pair: a vertex seen in several partitions
     # links its per-partition roots together — collapsing to one root
@@ -223,13 +226,17 @@ def local_contract(edges, num_partitions: int = 32):
 
 def wcc_two_phase(graph: Graph, spark: SparkSession | None = None, **kwargs) -> DataFrame:
     """Two-phase WCC: per-partition union-find contraction, then
-    hash-min+pointer-jumping on the (much smaller) mapping graph, then
-    one broadcast-back join.
+    hash-min+pointer-jumping on the mapping star-forest, then the
+    resolved labels.
 
-    At 100 TB this is the preferred plan: phase 1 touches each edge
-    exactly once with zero shuffle rounds; the iterative phase runs on
-    a star-forest of ≤|V| edges whose diameter is the number of
-    cross-partition hops, not the graph diameter."""
+    Phase 1 touches each edge exactly once with zero shuffle rounds and
+    collapses the *intra-partition* diameter, so the iterative phase's
+    round count is the number of cross-partition hops. Wins on
+    high-diameter graphs (long chains, meshes, road networks) and when
+    partitions hold dense local structure (locality-partitioned edges);
+    on low-diameter graphs (power-law/RMAT, ~10 hash-min rounds) the
+    mapping is nearly as large as the input and plain :func:`wcc`
+    measured faster — both are exposed, pick by graph shape."""
     spark = spark or graph.edges.sparkSession
     mapping = local_contract(graph.sym_edges(), graph.num_partitions)
     # mapping edges (vid -> root) form a star forest per partition;
