@@ -835,7 +835,7 @@ FROM events GROUP BY 1, 2
 """,
         "midas_edge_freq": """
 SELECT user_id, event_type, count(*) AS total,
-       sum(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 1 ELSE 0 END) AS recent,
+       CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS recent,
        round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recent_ratio
 FROM events GROUP BY 1, 2
 """,
@@ -853,14 +853,17 @@ WHERE rc.c >= 4
         "midas_scores": """
 WITH w0 AS (SELECT user_id, event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start FROM events),
 est AS (SELECT user_id, event_type, window_start, count(*) AS a FROM w0 GROUP BY 1, 2, 3),
-cum AS (SELECT *, sum(a) OVER (PARTITION BY user_id, event_type ORDER BY window_start) AS s FROM est),
-wins AS (SELECT window_start, dense_rank() OVER (ORDER BY window_start) AS t
-         FROM (SELECT DISTINCT window_start FROM est))
-SELECT c.window_start, user_id, event_type, a, s, t,
+cum AS (SELECT *, CAST(sum(a) OVER (PARTITION BY user_id, event_type ORDER BY window_start) AS BIGINT) AS s FROM est),
+mn AS (SELECT min(window_start) AS first_w FROM est),
+ticked AS (
+  SELECT c.*, CAST(floor((epoch(c.window_start) - epoch(mn.first_w)) / 86400) AS BIGINT) + 1 AS t
+  FROM cum c CROSS JOIN mn
+)
+SELECT window_start, user_id, event_type, a, s, t,
        round(CASE WHEN t > 1 AND s > 0
                   THEN pow(a - s * 1.0 / t, 2) * t * t / (s * (t - 1))
                   ELSE 0.0 END, 6) AS score
-FROM cum c JOIN wins USING (window_start)
+FROM ticked
 """,
         "spatial_join": """
 WITH p AS (
@@ -904,7 +907,7 @@ WITH o AS (
   FROM events
 )
 SELECT user_id,
-       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM o GROUP BY 1
 """,

@@ -25,6 +25,19 @@ from pyspark.sql import DataFrame, functions as F
 AFFINE_P = 1_000_000_007
 
 
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _window_seconds(window: str) -> int:
+    """'1 day' / '30 minutes' → seconds (tumbling-window tick length)."""
+    n, unit = window.strip().split()
+    return int(n) * _UNIT_SECONDS[unit.lower()]
+
+
 def _bucket(key_col, row: int, width: int, affine: bool = False):
     if affine:
         a = (1_664_525 * (row + 1) + 1_013_904_223) % AFFINE_P | 1
@@ -133,15 +146,21 @@ def midas_scores(
         .groupBy(src, dst, "window_start")
         .agg(F.min("wcnt").alias("a"), F.min("ccnt").alias("s"))
     )
-    # window index t: rank over the (tiny) distinct window set, then
-    # broadcast back — a global dense_rank window would single-task the
-    # whole edge table at scale.
-    windows = (
-        est.select("window_start")
-        .distinct()
-        .withColumn("t", F.dense_rank().over(W.orderBy("window_start")))
-    )
-    scored = est.join(F.broadcast(windows), on="window_start")
+    # window index t: elapsed ticks since the first observed window —
+    # the reference MIDAS tick advances every window whether or not it
+    # saw events (``test/midas.cpp``), so empty windows must NOT be
+    # collapsed (a dense_rank over observed windows would do that).
+    # One tiny min() agg broadcast back; no global window sort.
+    dur_s = _window_seconds(window)
+    first = est.agg(F.min("window_start").alias("w0"))
+    scored = est.join(F.broadcast(first)).withColumn(
+        "t",
+        (
+            (F.unix_timestamp("window_start") - F.unix_timestamp("w0"))
+            / F.lit(dur_s)
+        ).cast("long")
+        + F.lit(1),
+    ).drop("w0")
     return scored.withColumn(
         "score",
         F.when(

@@ -22,16 +22,26 @@ TABLES = [
 
 
 def norm_cell(v):
+    """Typed canonical form — the driver hashes *typed* values, so a
+    DuckDB HUGEINT (Decimal via Arrow) must NOT collapse to the same
+    key as a Spark BIGINT (int). Each cell carries a type tag."""
+    from decimal import Decimal
+
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        # driver-style canonicalization of rounded doubles
-        return f"{v:.9g}"
+            return "f:nan"
+        return f"f:{v:.9g}"
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if hasattr(v, "isoformat"):
-        return v.isoformat()
-    if isinstance(v, bool):
-        return str(v)
-    return str(v)
+        return f"t:{v.isoformat()}"
+    return f"s:{v}"
 
 
 def frame_key(cols, rows):
@@ -75,9 +85,11 @@ def main():
                 print(f"     WARNING: {name} returned 0 rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            ora_cols = [d[0] for d in res.description]
-            ora_rows = res.fetchall()
+            # Arrow fetch so DuckDB HUGEINT surfaces as Decimal (the
+            # driver-visible type), not a silently-coerced Python int.
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            ora_cols = tbl.column_names
+            ora_rows = [tuple(d[c] for c in ora_cols) for d in tbl.to_pylist()]
         except Exception as ex:
             print(f"FAIL {name}: duckdb error {ex}")
             failures.append(name)
