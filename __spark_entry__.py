@@ -454,19 +454,26 @@ def q_gcn_aggregate(spark, sf_dir):
     return agg.select("vid", F.round(F.element_at("h", 1), 6).alias("h0"))
 
 
-# -- rows-only entries (no SQL oracle: iterative/streaming/ANN) -------------
+# -- formerly rows-only entries, now fully oracle-checked -------------------
+
+#: the repos_wcc query materializes its derived edge table here so the
+#: DuckDB oracle can recompute WCC over the *identical* bytes (the
+#: generator itself uses xxhash64 vids, which SQL cannot recompute).
+REPOS_EDGES_PATH = "/tmp/hoover_spark_oracle/repos_edges"
+
 
 def q_repos_wcc(spark, sf_dir):
     """Flagship integration: synthesize the repos source table, verify
     the per-row sha256 invariant, extract the reference graph, run WCC.
-    (Generator is not SQL-recomputable → rows-only driver check; exact
-    per-vertex oracle lives in tests/test_repos.py.)"""
+    The derived edge table is written to parquet and re-read, so the
+    DuckDB twin runs recursive-CTE reachability over the same file."""
     from hoover_spark.sources.repos import ref_edges, repos_table, verify_content_sha256
 
     n_rows = 2000
     repos = repos_table(spark, n_rows)
     assert verify_content_sha256(repos, n_rows).limit(1).count() == 0
-    g = Graph(ref_edges(repos), num_partitions=16)
+    ref_edges(repos).write.mode("overwrite").parquet(REPOS_EDGES_PATH)
+    g = Graph(spark.read.parquet(REPOS_EDGES_PATH), num_partitions=16)
     return wcc(g, spark=spark).select("vid", "label")
 
 
@@ -899,6 +906,67 @@ msgs AS (
 s AS (SELECT vid, sum(hn) AS hsum FROM msgs GROUP BY 1)
 SELECT s.vid, round(s.hsum / sqrt(deg.d + 1), 6) AS h0
 FROM s JOIN deg ON s.vid = deg.vid
+""",
+        "repos_wcc": f"""
+WITH RECURSIVE e0 AS (SELECT src, dst FROM '{REPOS_EDGES_PATH}/*.parquet'),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+v AS (SELECT DISTINCT src AS vid FROM sym),
+reach(vid, r) AS (
+  SELECT vid, vid FROM v
+  UNION
+  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.vid
+)
+SELECT vid, min(r) AS label FROM reach GROUP BY vid
+""",
+        "lsh_ann_topk": """
+WITH w AS (
+  SELECT t.range AS t, p.range AS p, d.range AS d,
+         CAST(((1103515245*(t.range*1000003 + p.range*64 + d.range) + 12345) % 2147483647) % 2001 - 1000 AS DOUBLE) AS wt
+  FROM range(2) t, range(8) p, range(64) d
+),
+vd AS (SELECT vec_id, CAST(u.d AS INT) AS d, CAST(embedding[u.d + 1] AS DOUBLE) AS val
+       FROM embeddings, UNNEST(range(64)) AS u(d)),
+dots AS (SELECT vec_id, w.t, w.p, sum(w.wt * vd.val) AS dot
+         FROM vd JOIN w ON w.d = vd.d GROUP BY 1, 2, 3),
+buckets AS (SELECT vec_id, t, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY 1, 2),
+qb AS (SELECT vec_id AS query_id, t, bucket FROM buckets WHERE vec_id % 50 = 0),
+cand AS (SELECT DISTINCT qb.query_id, b.vec_id
+         FROM qb JOIN buckets b USING (t, bucket) WHERE b.vec_id <> qb.query_id),
+vn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (SELECT c.query_id, c.vec_id,
+                  list_dot_product(q.v, v.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(v.v, v.v))) AS cos_raw
+           FROM cand c JOIN vn v ON v.vec_id = c.vec_id JOIN vn q ON q.vec_id = c.query_id),
+r AS (SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+      FROM scored)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+""",
+        "multimodal_features": """
+WITH ids AS (SELECT u.i AS id FROM UNNEST(range(200)) AS u(i)),
+base AS (
+  SELECT id,
+         CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         sha256(CAST(id AS VARCHAR)) AS hx,
+         least((id * 13) % 1080 + 1, 8) AS h,
+         least((id * 7) % 1920 + 1, 8) AS w,
+         least(id % 300 + 1, 4) AS nf
+  FROM ids
+),
+sz AS (
+  SELECT id, kind, hx,
+         CASE kind WHEN 'image' THEN h * w * 3
+                   WHEN 'audio' THEN 1024
+                   ELSE nf * 8 * 8 * 3 END AS total
+  FROM base
+),
+samples AS (
+  SELECT id, kind, ascii(substr(hx, CAST(u.j % 32 AS INT) + 1, 1)) AS v
+  FROM sz, UNNEST(range(0, total, 16)) AS u(j)
+)
+SELECT id AS asset_id, kind, CAST(256 AS BIGINT) AS payload_bytes,
+       CAST(sum(v) AS DOUBLE) / count(*) AS f0
+FROM samples GROUP BY 1, 2
 """,
         "sessionize": """
 WITH o AS (

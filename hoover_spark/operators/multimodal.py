@@ -55,7 +55,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("asset_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),
         T.StructField("payload_bytes", T.LongType(), False),
-        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
     ]
 )
 
@@ -114,13 +114,16 @@ def decode_media(payload: bytes, kind: str, meta: dict, fake: bool = False) -> n
             "media decode needs PIL/ffmpeg/soundfile — not available in the sandbox; "
             "pass fake=True for the deterministic test decode"
         )
-    seed = np.frombuffer(payload[:32], dtype=np.uint8).astype(np.float32)
+    # Raw byte codes as exactly-representable float64 integers: sums and
+    # means over them are bit-for-bit reproducible by any engine (the
+    # DuckDB oracle recomputes the pooled features from the same bytes).
+    seed = np.frombuffer(payload[:32], dtype=np.uint8).astype(np.float64)
     if kind == "image":
         h, w = min(meta["height"], 8), min(meta["width"], 8)
-        return np.resize(seed, (h, w, 3)) / 255.0
+        return np.resize(seed, (h, w, 3))
     if kind == "audio":
-        return np.resize(seed, (min(meta["sample_rate"], 1024),)) / 255.0
-    return np.resize(seed, (min(meta["n_frames"], 4), 8, 8, 3)) / 255.0
+        return np.resize(seed, (min(meta["sample_rate"], 1024),))
+    return np.resize(seed, (min(meta["n_frames"], 4), 8, 8, 3))
 
 
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
@@ -138,7 +141,7 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 pooled = np.array(
                     [flat[i::FEATURE_DIM].mean() if flat[i::FEATURE_DIM].size else 0.0
                      for i in range(FEATURE_DIM)],
-                    dtype=np.float32,
+                    dtype=np.float64,
                 )
                 feats.append(pooled)
                 sizes.append(len(payload))

@@ -45,9 +45,19 @@ def _norm(a):
 
 def with_unit_vec(df: DataFrame, vec_col: str, out: str = "unit") -> DataFrame:
     """Pre-normalize embeddings to unit length (double precision) so
-    cosine = dot; normalization happens once, not per pair."""
+    cosine = dot; normalization happens once, not per pair.
+
+    The norm is materialized in its own column first and the division
+    references that column — putting ``_norm(v)`` inside the
+    per-element lambda would re-evaluate the O(d) aggregate for every
+    element (O(d²) per row: ~1M ops/row at d=1024)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.withColumn(out, F.transform(v, lambda x: x / _norm(v)))
+    nc = f"__norm_{out}"
+    return (
+        df.withColumn(nc, _norm(v))
+        .withColumn(out, F.transform(v, lambda x: x / F.col(nc)))
+        .drop(nc)
+    )
 
 
 def cosine_topk(
@@ -144,6 +154,20 @@ def _plane_weight(table: int, plane: int, dim: int) -> int:
     return (x % 2001) - 1000
 
 
+def _plane_weight_expr(table: int, plane: int, idx) -> "F.Column":
+    """Column form of :func:`_plane_weight` for an element-index column
+    — weights are computed inside codegen from the index, so no
+    per-dimension literal arrays appear in the plan (at dim=1024 the
+    literal-array form put ~16k constants in the plan)."""
+    x = F.pmod(
+        F.lit(1_103_515_245).cast("long")
+        * (F.lit(table * 1_000_003 + plane * 64).cast("long") + idx.cast("long"))
+        + F.lit(12_345),
+        F.lit(2_147_483_647),
+    )
+    return (F.pmod(x, F.lit(2001)) - F.lit(1000)).cast("double")
+
+
 def hyperplane_buckets(
     df: DataFrame,
     id_col: str,
@@ -155,17 +179,21 @@ def hyperplane_buckets(
     """(id, table, bucket) — sign-pattern bucket per hash table.
 
     bucket = Σ_j [⟨w_{t,j}, v⟩ > 0] · 2^j with fixed integer weight
-    planes; computed as ``n_planes`` zip_with dot products per table
-    (pure codegen expressions)."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    planes; each dot product is one indexed ``transform`` + fold (pure
+    codegen, dimension-agnostic — ``dim`` is accepted for backward
+    compatibility but unused)."""
+    del dim  # weights derive from the element index; no probe needed
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def weighted(t: int, p: int):
+        return lambda x, i: x * _plane_weight_expr(t, p, i)
+
     rows = None
     for t in range(n_tables):
         bucket = None
         for p in range(n_planes):
-            weights = F.array(*[F.lit(float(_plane_weight(t, p, d))) for d in range(dim)])
-            dot = _dot(weights, v)
+            prod = F.transform(v, weighted(t, p))
+            dot = F.aggregate(prod, F.lit(0.0), lambda acc, y: acc + y)
             bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
             bucket = bit if bucket is None else bucket + bit
         r = df.select(
@@ -190,9 +218,8 @@ def lsh_ann_topk(
     Candidate volume ≈ corpus/2^planes per table; the rescore join
     touches only candidates, which is the entire point at 10^9+
     vectors. Recall is tested against :func:`cosine_topk`."""
-    dim = len(vectors.select(vec_col).first()[0])
-    vb = hyperplane_buckets(vectors, id_col, vec_col, n_planes, n_tables, dim)
-    qb = hyperplane_buckets(queries, query_id, vec_col, n_planes, n_tables, dim)
+    vb = hyperplane_buckets(vectors, id_col, vec_col, n_planes, n_tables)
+    qb = hyperplane_buckets(queries, query_id, vec_col, n_planes, n_tables)
     cand = (
         qb.withColumnRenamed("id", "query_id")
         .join(vb.withColumnRenamed("id", "vec_id"), on=["table", "bucket"])
@@ -254,13 +281,21 @@ def ivf_topk(
     cn = with_unit_vec(cents, "cvec").select(
         "list_id", F.col("unit").alias("c")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("list_id"))
+    # argmax-sim via max_by (one partial+final agg, no window sort over
+    # |corpus|·n_lists rows); tie-break = lowest list_id via the struct
+    # ordering (sim, -list_id). The vector rides along in the value
+    # struct so no re-join against the corpus is needed.
     assigned = (
         vn.join(F.broadcast(cn))
         .select("vec_id", "list_id", "v", _dot(F.col("v"), F.col("c")).alias("sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "list_id", "v")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("list_id", "v"),
+                F.struct(F.col("sim"), (-F.col("list_id")).alias("neg")),
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.list_id").alias("list_id"), F.col("best.v").alias("v"))
     )
     qn = with_unit_vec(queries, vec_col).select(
         F.col(query_id).alias("query_id"), F.col("unit").alias("q")
@@ -297,8 +332,7 @@ def embedding_near_dup_pairs(
     """(id_a, id_b, cosine) — embedding-cosine near-duplicate pairs via
     LSH bucket collisions + exact rescore (the embedding flavor of the
     dedup family)."""
-    dim = len(vectors.select(vec_col).first()[0])
-    b = hyperplane_buckets(vectors, id_col, vec_col, n_planes, n_tables, dim)
+    b = hyperplane_buckets(vectors, id_col, vec_col, n_planes, n_tables)
     left = b.select("table", "bucket", F.col("id").alias("id_a"))
     right = b.select("table", "bucket", F.col("id").alias("id_b"))
     cand = (
