@@ -549,7 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _shingle_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text", k: int = SHINGLE_K) -> str:
     terms = " + ".join(
-        f"ascii(substr({text_col}, p + {j}, 1)) * {31 ** j}" for j in range(k)
+        f"(ascii(substr({text_col}, p + {j}, 1)) % 256) * {31 ** j}"
+        for j in range(k)
     )
     return (
         f"sh AS (SELECT {id_col} AS id, p AS pos, CAST({terms} AS BIGINT) AS code "
@@ -769,13 +770,21 @@ grams AS (SELECT DISTINCT id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
 counts AS (SELECT id, count(*) AS n_grams FROM grams GROUP BY 1),
 inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
           FROM pairs p JOIN grams ga ON ga.id = p.id_a JOIN grams gb ON gb.id = p.id_b AND gb.gram = ga.gram
-          GROUP BY 1, 2)
+          GROUP BY 1, 2),
+zero AS (SELECT doc_id AS id, sha256(text) AS sha FROM documents
+         WHERE len(regexp_split_to_array(trim(text), '\\s+')) < 3)
 SELECT p.id_a, p.id_b,
-       round(coalesce(i.n_inter, 0) * 1.0 / (ca.n_grams + cb.n_grams - coalesce(i.n_inter, 0)), 6) AS jaccard
+       round(CASE WHEN coalesce(ca.n_grams, 0) + coalesce(cb.n_grams, 0) = 0
+                  THEN CASE WHEN za.sha = zb.sha THEN 1.0 ELSE 0.0 END
+                  ELSE coalesce(i.n_inter, 0) * 1.0
+                       / (coalesce(ca.n_grams, 0) + coalesce(cb.n_grams, 0) - coalesce(i.n_inter, 0))
+             END, 6) AS jaccard
 FROM pairs p
 LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
-JOIN counts ca ON ca.id = p.id_a
-JOIN counts cb ON cb.id = p.id_b
+LEFT JOIN counts ca ON ca.id = p.id_a
+LEFT JOIN counts cb ON cb.id = p.id_b
+LEFT JOIN zero za ON za.id = p.id_a
+LEFT JOIN zero zb ON zb.id = p.id_b
 """,
         "text_quality": f"""
 WITH t AS (

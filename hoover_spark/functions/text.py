@@ -74,7 +74,13 @@ def subword_count(col, max_piece: int = 4) -> Column:
 def shingle_codes(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
     """(id, pos, code) — one row per character k-gram.
 
-    code = sum_{j=0}^{k-1} ascii(text[pos+j]) * 31^j  (pos 1-based).
+    code = sum_{j=0}^{k-1} (ascii(text[pos+j]) mod 256) * 31^j
+    (pos 1-based). The mod-256 reduction bounds each character term:
+    ``ascii`` returns full Unicode code points (≤ 0x10FFFF), so the
+    unreduced polynomial would reach ~1e12 and a·code in the affine
+    mixes (a ≈ 1e9) would silently wrap int64 on multilingual text.
+    With the reduction, code ≤ 255·Σ31^j ≈ 2.4e8 (k=5) and every
+    downstream product provably fits int64 in Spark and DuckDB alike.
     Pure `sequence`+`explode` + arithmetic: whole-stage codegen, and
     byte-identical to the DuckDB oracle's recomputation.
     """
@@ -85,7 +91,10 @@ def shingle_codes(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Data
     )
     code = None
     for j in range(k):
-        term = F.ascii(F.substring(F.col("_t"), F.col("pos") + F.lit(j), 1)) * F.lit(POLY_BASE ** j)
+        ch = F.pmod(
+            F.ascii(F.substring(F.col("_t"), F.col("pos") + F.lit(j), 1)), F.lit(256)
+        )
+        term = ch * F.lit(POLY_BASE ** j)
         code = term if code is None else code + term
     return base_df.select("id", "pos", code.cast("long").alias("code"))
 
@@ -93,7 +102,8 @@ def shingle_codes(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Data
 def shingle_codes_sql(table: str, id_col: str, text_col: str, k: int = 5) -> str:
     """DuckDB twin of :func:`shingle_codes` (1-based positions)."""
     terms = " + ".join(
-        f"ascii(substr({text_col}, p + {j}, 1)) * {POLY_BASE ** j}" for j in range(k)
+        f"(ascii(substr({text_col}, p + {j}, 1)) % 256) * {POLY_BASE ** j}"
+        for j in range(k)
     )
     return (
         f"SELECT {id_col} AS id, p AS pos, CAST({terms} AS BIGINT) AS code "

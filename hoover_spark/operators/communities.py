@@ -58,8 +58,13 @@ def detect_communities_from_points(
 
 def four_cliques(graph: Graph) -> DataFrame:
     """(a, b, c, d) — all 4-cliques, each exactly once, vertices sorted
-    by orientation rank (degree, vid)."""
-    e = oriented_edges(graph).persist()
+    by orientation rank (degree, vid).
+
+    The oriented edge list is referenced by five join branches, so it
+    is localCheckpointed (materialized once, blocks reclaimed by the
+    context cleaner when unreferenced — unlike persist, nothing is
+    pinned in the cache manager across calls)."""
+    e = oriented_edges(graph).localCheckpoint()
     # triangles with orientation order u→v→w
     tri = (
         e.alias("ab")
@@ -101,15 +106,32 @@ def clique_percolation_communities(graph: Graph, k: int = 4) -> DataFrame:
     Vertices in no 4-clique are absent from the result (the reference
     likewise only labels supernode members)."""
     assert k == 4, "reference semantics: K=4 (community_detection.cpp:33)"
+    from pyspark.sql import Window
+
     cliques = four_cliques(graph).select(
         F.array_sort(F.array("a", "b", "c", "d")).alias("members")
     ).distinct()
-    # deterministic clique id = xxhash of the member tuple (internal
-    # only — the public community label is remapped to min member vid
-    # below, so results are engine-independent)
-    cliques = cliques.select(
-        F.xxhash64(F.col("members").cast("string")).alias("cid"), "members"
-    ).persist()
+    # Collision-FREE deterministic clique id (internal only — the
+    # public community label is remapped to min member vid below):
+    # bucket by hash, rank within the bucket by the sorted member
+    # tuple, cid = bucket + n_buckets * rank. Unlike a raw 64-bit hash
+    # this cannot merge two distinct cliques (birthday bound becomes
+    # material at the billions-of-cliques scale this module targets),
+    # and unlike a global row_number it sorts n_buckets independent
+    # partitions, not one task.
+    n_buckets = 1 << 16
+    bucket = F.pmod(F.xxhash64(F.col("members").cast("string")), F.lit(n_buckets))
+    w = Window.partitionBy("bucket").orderBy("members")
+    cliques = (
+        cliques.withColumn("bucket", bucket)
+        .withColumn(
+            "cid",
+            F.col("bucket")
+            + F.lit(n_buckets) * (F.row_number().over(w) - 1).cast("long"),
+        )
+        .select("cid", "members")
+        .localCheckpoint()
+    )
 
     # 3-subset keys: drop one member at a time
     subsets = None

@@ -188,17 +188,41 @@ def ngram_jaccard(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # Docs with fewer than n word tokens have no grams and therefore no
+    # counts row; an inner join would silently drop their candidate
+    # pairs (two identical 2-word docs share full minhash signatures
+    # but would never be scored). Left-join the counts and resolve the
+    # zero-gram/zero-gram case by exact content equality (sha256 of the
+    # tiny sub-n-token doc set, broadcast).
+    zero_docs = F.broadcast(
+        df.where(F.size(t) < n).select(
+            F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("sha")
+        )
+    )
+    inter0 = F.coalesce("n_inter", F.lit(0))
+    na = F.coalesce("na", F.lit(0))
+    nb = F.coalesce("nb", F.lit(0))
     return (
         pairs.join(inter, on=["id_a", "id_b"], how="left")
-        .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), on="id_a")
-        .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), on="id_b")
+        .join(
+            counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"),
+            on="id_a", how="left",
+        )
+        .join(
+            counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"),
+            on="id_b", how="left",
+        )
+        .join(zero_docs.withColumnsRenamed({"id": "id_a", "sha": "sha_a"}), on="id_a", how="left")
+        .join(zero_docs.withColumnsRenamed({"id": "id_b", "sha": "sha_b"}), on="id_b", how="left")
         .select(
             "id_a",
             "id_b",
-            (
-                F.coalesce("n_inter", F.lit(0))
-                / (F.col("na") + F.col("nb") - F.coalesce("n_inter", F.lit(0)))
-            ).alias("jaccard"),
+            F.when(
+                (na + nb) == 0,
+                F.when(F.col("sha_a") == F.col("sha_b"), F.lit(1.0)).otherwise(F.lit(0.0)),
+            )
+            .otherwise(inter0 / (na + nb - inter0))
+            .alias("jaccard"),
         )
     )
 

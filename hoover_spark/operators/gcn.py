@@ -56,12 +56,20 @@ def aggregate_features(
         # self-loop term (A+I): every vertex also messages itself
         .unionByName(norm.select("vid", "hn"))
     )
-    dim = len(features.select(vec_col).first()[0])
-    zero = F.array(*[F.lit(0.0) for _ in range(dim)])
-    summed = msgs.groupBy("vid").agg(
-        F.aggregate(
-            F.collect_list("hn"), zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
-        ).alias("hsum")
+    # Element-wise sum as posexplode → partial/final SUM per (vid, pos)
+    # → reassemble ordered by pos. Never materializes a whole
+    # neighborhood in one row (collect_list + fold would put
+    # degree × dim doubles into a single row — an OOM/straggler on any
+    # skewed graph; the reference caps neighbors at 10, we cannot), and
+    # the per-position SUM combines map-side, so a 10^6-degree hub
+    # shuffles at most n_map_partitions × dim partial rows.
+    summed = (
+        msgs.select("vid", F.posexplode("hn").alias("pos", "val"))
+        .groupBy("vid", "pos")
+        .agg(F.sum("val").alias("s"))
+        .groupBy("vid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+        .select("vid", F.transform("ps", lambda x: x["s"]).alias("hsum"))
     )
     return summed.join(deg, on="vid").select(
         "vid",

@@ -78,22 +78,19 @@ class Graph:
         ).dropDuplicates(["src", "dst"])
 
     def vertices(self) -> DataFrame:
-        """Distinct vertex ids appearing at either endpoint. Reads from
-        the persisted symmetric view when one exists (one distinct over
-        cached partitions instead of a fresh scan+union)."""
+        """Distinct vertex ids appearing at either endpoint of the RAW
+        edge list — always the same canonical source, regardless of
+        which derived views have been cached. (Deriving from the
+        cleaned symmetric view would silently drop a vertex whose only
+        incidence is a self-loop, and make results depend on which
+        kernel ran first.)"""
         if "vertices" not in self._cache:
-            sym = self._cache.get("sym_part")
-            if sym is not None:
-                self._cache["vertices"] = sym.select(
-                    F.col("src").alias("vid")
-                ).distinct()
-            else:
-                e = self.edges
-                self._cache["vertices"] = (
-                    e.select(F.col("src").alias("vid"))
-                    .unionByName(e.select(F.col("dst").alias("vid")))
-                    .distinct()
-                )
+            e = self.edges
+            self._cache["vertices"] = (
+                e.select(F.col("src").alias("vid"))
+                .unionByName(e.select(F.col("dst").alias("vid")))
+                .distinct()
+            )
         return self._cache["vertices"]
 
     def out_degrees(self) -> DataFrame:

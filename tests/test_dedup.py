@@ -46,7 +46,7 @@ def docs_df(spark):
 
 def py_shingles(text: str, k: int = 5) -> set[int]:
     return {
-        sum(ord(text[p + j]) * 31**j for j in range(k))
+        sum((ord(text[p + j]) % 256) * 31**j for j in range(k))
         for p in range(len(text) - k + 1)
     }
 

@@ -51,6 +51,38 @@ def test_aggregate_matches_numpy(spark):
         assert np.allclose(got[v], want[v], atol=1e-9), v
 
 
+def test_aggregate_star_hub_100k(spark):
+    """Hub with degree 10^5: the aggregation must not materialize the
+    whole neighborhood in one row (posexplode + per-position SUM plan).
+    Closed-form check with constant features h = [1.0] * d."""
+    from pyspark.sql import functions as F
+    from hoover_spark.operators.graph import Graph
+
+    n = 100_000
+    edges = spark.range(1, n + 1).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    g = Graph(edges, num_partitions=8)
+    d = 3
+    feats = spark.range(n + 1).select(
+        F.col("id").alias("vid"), F.array(*[F.lit(1.0)] * d).alias("h")
+    )
+    agg = aggregate_features(g, feats)
+
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    # the message fold must be a partial/final SUM, not a neighborhood
+    # collect: posexplode feeds groupBy(vid, pos).sum
+    assert "posexplode" in plan or "Generate" in plan
+
+    hub = np.array(agg.where("vid = 0").first()["h"])
+    leaf = np.array(agg.where("vid = 1").first()["h"])
+    sq2, sqn = np.sqrt(2.0), np.sqrt(n + 1.0)
+    want_hub = (n / sq2 + 1.0 / sqn) / sqn
+    want_leaf = (1.0 / sqn + 1.0 / sq2) / sq2
+    assert np.allclose(hub, want_hub, rtol=1e-9)
+    assert np.allclose(leaf, want_leaf, rtol=1e-9)
+
+
 def test_layer_and_stack_match_numpy(spark):
     g = two_cliques(spark, k=4, bridge=True)
     n = 8

@@ -49,10 +49,27 @@ def test_shingle_codes_match_python(spark, docs_df):
     rows = shingle_codes(docs_df.where("doc_id = 0"), "doc_id", "text", k=5).collect()
     text = DOCS[0][1]
     expected = {
-        (p + 1, sum(ord(text[p + j]) * 31**j for j in range(5)))
+        (p + 1, sum((ord(text[p + j]) % 256) * 31**j for j in range(5)))
         for p in range(len(text) - 4)
     }
     assert {(r["pos"], r["code"]) for r in rows} == expected
+
+
+def test_shingle_codes_nonascii_bounded(spark):
+    """Unicode code points are reduced mod 256 before the polynomial
+    mix, so a·code in the affine hashes provably fits int64 even on
+    multilingual text (code ≤ 255·Σ31^j ≈ 2.4e8 at k=5)."""
+    text = "héllo wörld — 你好世界 こんにちは"
+    df = spark.createDataFrame([(0, text)], schema="doc_id long, text string")
+    rows = shingle_codes(df, "doc_id", "text", k=5).collect()
+    assert rows
+    bound = 255 * sum(31**j for j in range(5))
+    expected = {
+        (p + 1, sum((ord(text[p + j]) % 256) * 31**j for j in range(5)))
+        for p in range(len(text) - 4)
+    }
+    assert {(r["pos"], r["code"]) for r in rows} == expected
+    assert all(0 <= r["code"] <= bound for r in rows)
 
 
 def test_quality_metrics(spark, docs_df):

@@ -107,3 +107,21 @@ def test_metrics_emitted(spark, tmp_path):
     for r in rows:
         assert {"kernel", "iter", "rows_shuffled", "delta_norm", "frontier_size", "wall_ms", "npartitions"} <= set(r)
     assert rows[-1]["frontier_size"] == 0  # converged
+
+
+def test_self_loop_only_vertex_survives_caching(spark):
+    """A vertex whose only incidence is a self-loop must appear in
+    vertices()/wcc() regardless of which derived edge view a kernel
+    cached first (vertices always derives from the raw edge list)."""
+    from hoover_spark.operators.graph import graph_from_pairs
+
+    pairs = [(0, 1), (1, 2), (7, 7)]  # 7 has only a self-loop
+
+    g1 = graph_from_pairs(spark, pairs)
+    g1.sym_edges()  # cache the cleaned symmetric view FIRST
+    assert {r["vid"] for r in g1.vertices().collect()} == {0, 1, 2, 7}
+    assert labels_of(wcc(g1)) == {0: 0, 1: 0, 2: 0, 7: 7}
+
+    g2 = graph_from_pairs(spark, pairs)  # no caching
+    assert {r["vid"] for r in g2.vertices().collect()} == {0, 1, 2, 7}
+    assert labels_of(wcc(g2)) == {0: 0, 1: 0, 2: 0, 7: 7}
