@@ -498,6 +498,67 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def _gbad_counts(spark, sf_dir):
+    """GBAD pattern frequencies over the deterministic customer-key
+    radius graph (same point derivation as ``spatial_join``)."""
+    from hoover_spark.operators.gbad import pattern_counts
+    from hoover_spark.operators.spatial import implicit_edges
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        k.alias("id"),
+        (F.pmod(k * 37 + 11, F.lit(997)) / 997.0).alias("x"),
+        (F.pmod(k * 53 + 29, F.lit(997)) / 997.0).alias("y"),
+        (F.pmod(k * 71 + 41, F.lit(997)) / 997.0).alias("z"),
+    )
+    # radius 0.12 (vs spatial_join's 0.08) so the graph holds real
+    # structure: ~4.8k edges / 3.4k triangles at sf0.01 -> 6 distinct
+    # patterns instead of 2
+    pairs = implicit_edges(pts, "id", ["x", "y", "z"], 0.12).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    verts = pts.select(F.col("id").alias("vid"))
+    return pattern_counts(sym, verts)
+
+
+def q_gbad_patterns(spark, sf_dir):
+    """Normative subgraph patterns: top-6 by count x n_edges (GBAD
+    frequent-pattern stage, reference test/intrusion_detection.cpp
+    :349, :408-410, :617-665)."""
+    from hoover_spark.operators.gbad import frequent_patterns
+
+    freq = frequent_patterns(_gbad_counts(spark, sf_dir), top_k=3)
+    return freq.select(
+        F.col("matrix").cast("long").alias("pattern"),
+        F.col("count").cast("long").alias("count"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_gbad_anomalies(spark, sf_dir):
+    """GBAD anomalies: patterns within 1 matrix-bit of a normative
+    pattern but not normative themselves (reference :795-874)."""
+    from hoover_spark.operators.gbad import anomalies, frequent_patterns
+
+    counts = _gbad_counts(spark, sf_dir)
+    freq = frequent_patterns(counts, top_k=3)
+    # matrices are symmetric, so XOR distance is always even and the
+    # reference's MAX_DISTANCE_FOR_ANOMALY=1 can never fire; 2 = one
+    # undirected edge of difference, the evident intent
+    return anomalies(counts, freq, max_distance=2).select(
+        F.col("matrix").cast("long").alias("pattern"),
+        F.col("count").cast("long").alias("count"),
+        F.col("nearest_frequent").cast("long").alias("nearest_frequent"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the full engine slice —
     WCC component labels of the customer-key graph (edge derivation →
@@ -540,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repos_wcc": q_repos_wcc,
         "lsh_ann_topk": q_lsh_ann_topk,
         "multimodal_features": q_multimodal_features,
+        "gbad_patterns": q_gbad_patterns,
+        "gbad_anomalies": q_gbad_anomalies,
     }
 
 
@@ -647,6 +710,71 @@ probes AS ({probe_rows})
 SELECT p.user_id, min(coalesce(sk.cnt, 0)) AS est
 FROM probes p LEFT JOIN sk ON p.r = sk.r AND p.bucket = sk.bucket
 GROUP BY 1
+"""
+
+
+#: lower-triangle mask of the 4x4 GBAD slot matrix (each undirected
+#: edge counted once — mirrors gbad.n_edges_expr / the reference's
+#: adjacency_matrix_n_edges).
+_GBAD_LOWER_MASK = sum(1 << (i * 4 + j) for i in range(4) for j in range(i + 1))
+
+_GBAD_IDX = (
+    "CASE WHEN t.dst = t.v1 THEN 0 WHEN t.dst = t.v2 THEN 1 "
+    "WHEN t.dst = t.v3 THEN 2 WHEN t.dst = t.v4 THEN 3 END"
+)
+
+#: shared CTE chain: customer points -> radius graph -> GBAD state walk
+#: (recursive, multiplicity-preserving UNION ALL) -> pattern counts ->
+#: scored frequent patterns. Verified state-for-state against the
+#: recursive python mirror of explore_subgraphs in tests/test_gbad.py.
+_GBAD_CTES = f"""
+p AS (
+  SELECT c_custkey AS id,
+         ((c_custkey*37+11) % 997) / 997.0 AS x,
+         ((c_custkey*53+29) % 997) / 997.0 AS y,
+         ((c_custkey*71+41) % 997) / 997.0 AS z
+  FROM customer
+),
+e0 AS (
+  SELECT a.id AS src, b.id AS dst FROM p a JOIN p b ON a.id < b.id
+  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) <= 0.12*0.12
+),
+sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+states(v1, v2, v3, v4, n, last, matrix) AS (
+  SELECT CAST(id AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 1, 0, 0 FROM p
+  UNION ALL
+  SELECT
+    t.v1,
+    CASE WHEN t.k = 1 AND t.n = 1 THEN t.dst ELSE t.v2 END,
+    CASE WHEN t.k = 1 AND t.n = 2 THEN t.dst ELSE t.v3 END,
+    CASE WHEN t.k = 1 AND t.n = 3 THEN t.dst ELSE t.v4 END,
+    CASE WHEN t.k = 1 THEN t.n + 1 ELSE t.n END,
+    CASE WHEN t.k = 1 THEN t.n ELSE {_GBAD_IDX} END,
+    CASE WHEN t.k = 1
+         THEN t.matrix | (1 << (t.n * 4 + t.last)) | (1 << (t.last * 4 + t.n))
+         ELSE t.matrix | (1 << (({_GBAD_IDX}) * 4 + t.last)) | (1 << (t.last * 4 + ({_GBAD_IDX}))) END
+  FROM (
+    SELECT s.*, sym.dst, b.k
+    FROM states s
+    JOIN sym ON sym.src = CASE s.last WHEN 0 THEN s.v1 WHEN 1 THEN s.v2 WHEN 2 THEN s.v3 ELSE s.v4 END
+    CROSS JOIN (VALUES (0), (1)) b(k)
+    WHERE s.n < 4
+  ) t
+  WHERE (t.k = 0 AND ({_GBAD_IDX}) IS NOT NULL AND (t.matrix >> (({_GBAD_IDX}) * 4 + t.last)) & 1 = 0)
+     OR (t.k = 1 AND ({_GBAD_IDX}) IS NULL)
+),
+counts AS (SELECT matrix, count(*) AS cnt FROM states GROUP BY 1),
+scored AS (
+  SELECT matrix, cnt,
+         bit_count(matrix & {_GBAD_LOWER_MASK}) AS n_edges,
+         cnt * bit_count(matrix & {_GBAD_LOWER_MASK}) AS score
+  FROM counts
+),
+freq AS (
+  SELECT matrix, cnt, n_edges, score,
+         row_number() OVER (ORDER BY score DESC, matrix ASC) AS rank
+  FROM scored QUALIFY rank <= 3
+)
 """
 
 
@@ -976,6 +1104,32 @@ samples AS (
 SELECT id AS asset_id, kind, CAST(256 AS BIGINT) AS payload_bytes,
        CAST(sum(v) AS DOUBLE) / count(*) AS f0
 FROM samples GROUP BY 1, 2
+""",
+        "gbad_patterns": f"""
+WITH RECURSIVE {_GBAD_CTES}
+SELECT CAST(matrix AS BIGINT) AS pattern, CAST(cnt AS BIGINT) AS count,
+       CAST(n_edges AS BIGINT) AS n_edges, CAST(score AS BIGINT) AS score,
+       CAST(rank AS BIGINT) AS rank
+FROM freq
+""",
+        "gbad_anomalies": f"""
+WITH RECURSIVE {_GBAD_CTES},
+paired AS (
+  SELECT c.matrix, c.cnt, f.matrix AS fmatrix, f.rank AS frank,
+         bit_count(xor(c.matrix, f.matrix)) AS dist
+  FROM counts c CROSS JOIN freq f
+),
+flags AS (
+  SELECT matrix, cnt,
+         max(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS is_freq,
+         min(CASE WHEN dist > 0 AND dist <= 2 THEN frank END) AS best_rank
+  FROM paired GROUP BY 1, 2
+)
+SELECT CAST(fl.matrix AS BIGINT) AS pattern, CAST(fl.cnt AS BIGINT) AS count,
+       CAST(f.matrix AS BIGINT) AS nearest_frequent,
+       CAST(bit_count(xor(fl.matrix, f.matrix)) AS BIGINT) AS dist
+FROM flags fl JOIN freq f ON f.rank = fl.best_rank
+WHERE fl.is_freq = 0 AND fl.best_rank IS NOT NULL
 """,
         "sessionize": """
 WITH o AS (
