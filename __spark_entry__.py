@@ -559,6 +559,102 @@ def q_gbad_anomalies(spark, sf_dir):
     )
 
 
+SIR_STEPS = 6
+SIR_RADIUS = 0.05
+
+
+def _sir_actors(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return cust.select(
+        k.alias("actor_id"),
+        (F.pmod(k * 37 + 11, F.lit(997)) / 997.0).alias("x0"),
+        (F.pmod(k * 53 + 29, F.lit(997)) / 997.0).alias("y0"),
+        (F.pmod(k * 61 + 7, F.lit(997)) / 997.0).alias("dst_x"),
+        (F.pmod(k * 17 + 3, F.lit(997)) / 997.0).alias("dst_y"),
+        (F.pmod(k, F.lit(97)) == 0).alias("infected0"),
+    )
+
+
+def q_sir_trace(spark, sf_dir):
+    """Infection propagation over the time-unrolled layered graph
+    (reference test/infectious_test.c — its only benchmarked workload):
+    full (actor, t) infection trace, bit-deterministic trajectories."""
+    from hoover_spark.operators.sir import sir_layers, sir_propagate
+
+    layers = sir_layers(_sir_actors(spark, sf_dir), SIR_STEPS)
+    trace = sir_propagate(layers, SIR_RADIUS, SIR_STEPS)
+    return trace.select(
+        F.col("actor_id").cast("long").alias("actor_id"),
+        F.col("t").cast("long").alias("t"),
+        "infected",
+    )
+
+
+def _sir_sql() -> str:
+    """Unrolled DuckDB twin: the same trajectory arithmetic (IEEE ops
+    in the same order -> identical bits) + per-layer infection joins."""
+    ctes = ["""
+s0 AS (
+  SELECT c_custkey AS actor_id,
+         ((c_custkey*37+11) % 997) / 997.0 AS x,
+         ((c_custkey*53+29) % 997) / 997.0 AS y,
+         ((c_custkey*37+11) % 997) / 997.0 AS ppx,
+         ((c_custkey*53+29) % 997) / 997.0 AS ppy,
+         ((c_custkey*61+7) % 997) / 997.0 AS dst_x,
+         ((c_custkey*17+3) % 997) / 997.0 AS dst_y,
+         c_custkey % 97 = 0 AS infected0
+  FROM customer
+)"""]
+    for t in range(1, SIR_STEPS):
+        ctes.append(f"""
+s{t} AS (
+  SELECT actor_id, dst_x, dst_y, infected0,
+         x AS ppx, y AS ppy,
+         CASE WHEN px + wx >= 1.0 THEN px + wx - 1.0
+              WHEN px + wx < 0.0 THEN px + wx + 1.0
+              ELSE px + wx END AS x,
+         CASE WHEN py + wy >= 1.0 THEN py + wy - 1.0
+              WHEN py + wy < 0.0 THEN py + wy + 1.0
+              ELSE py + wy END AS y
+  FROM (
+    SELECT actor_id, dst_x, dst_y, infected0, x, y,
+           (abs(x - dst_x) < 1e-9 OR abs(y - dst_y) < 1e-9) AS snap,
+           CASE WHEN snap THEN dst_x ELSE x END AS px,
+           CASE WHEN snap THEN dst_y ELSE y END AS py,
+           dst_x - px AS vx,
+           dst_y - py AS vy,
+           5.0 * sqrt(vx*vx + vy*vy) AS mag,
+           CASE WHEN mag = 0 THEN 0.0 ELSE vx / mag END AS nvx,
+           CASE WHEN mag = 0 THEN 0.0 ELSE vy / mag END AS nvy,
+           CASE WHEN abs(vx) > abs(nvx) THEN nvx ELSE vx END AS wx,
+           CASE WHEN abs(vy) > abs(nvy) THEN nvy ELSE vy END AS wy
+    FROM s{t-1})
+)""")
+    r2 = f"{SIR_RADIUS}*{SIR_RADIUS}"
+    ctes.append("i0 AS (SELECT actor_id, infected0 AS infected FROM s0)")
+    for t in range(1, SIR_STEPS):
+        ctes.append(f"""
+h{t} AS (
+  SELECT DISTINCT c.actor_id
+  FROM s{t} c, s{t-1} p JOIN i{t-1} ip ON p.actor_id = ip.actor_id
+  WHERE ip.infected
+    AND (c.ppx - p.ppx)*(c.ppx - p.ppx) + (c.ppy - p.ppy)*(c.ppy - p.ppy) <= {r2}
+)""")
+        ctes.append(f"""
+i{t} AS (
+  SELECT c.actor_id, (ip.infected OR h.actor_id IS NOT NULL) AS infected
+  FROM s{t} c
+  JOIN i{t-1} ip USING (actor_id)
+  LEFT JOIN h{t} h USING (actor_id)
+)""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST(actor_id AS BIGINT) AS actor_id, CAST({t} AS BIGINT) AS t, infected FROM i{t}"
+        for t in range(SIR_STEPS)
+    )
+    return "WITH " + ",".join(ctes) + " " + selects
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the full engine slice —
     WCC component labels of the customer-key graph (edge derivation →
@@ -603,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "gbad_patterns": q_gbad_patterns,
         "gbad_anomalies": q_gbad_anomalies,
+        "sir_trace": q_sir_trace,
     }
 
 
@@ -1131,6 +1228,7 @@ SELECT CAST(fl.matrix AS BIGINT) AS pattern, CAST(fl.cnt AS BIGINT) AS count,
 FROM flags fl JOIN freq f ON f.rank = fl.best_rank
 WHERE fl.is_freq = 0 AND fl.best_rank IS NOT NULL
 """,
+        "sir_trace": _sir_sql(),
         "sessionize": """
 WITH o AS (
   SELECT user_id,

@@ -99,6 +99,67 @@ def implicit_edges(
     )
 
 
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    coord_cols: list[str],
+    radius: float,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> DataFrame:
+    """Two-sided radius join: all (left, right) pairs with Euclidean
+    distance ≤ radius between their ``coord_cols``. Same grid-pruned
+    plan as :func:`implicit_edges` (home cell on the left, 3^d
+    neighbor-cell explode on the right) but across two different
+    tables — the shape the SIR layered-graph propagation needs
+    (reference ``test/infectious_test.c:84-99``: cross-layer
+    ``should_have_edge``).
+
+    ``left_cols`` / ``right_cols`` name the passthrough columns; the
+    output carries them plus nothing else (coords dropped before any
+    downstream shuffle)."""
+    d = len(coord_cols)
+
+    a = left.select(
+        *left_cols,
+        *[F.col(c).cast("double").alias(f"_la_{c}") for c in coord_cols],
+        F.concat_ws(
+            ":",
+            *[F.floor(F.col(c) / F.lit(radius)).cast("long").cast("string")
+              for c in coord_cols],
+        ).alias("cell"),
+    )
+
+    offsets: list[list[int]] = [[]]
+    for _ in range(d):
+        offsets = [o + [s] for o in offsets for s in (-1, 0, 1)]
+    shifted_keys = F.array(*[
+        F.concat_ws(
+            ":",
+            *[(F.floor(F.col(c) / F.lit(radius)).cast("long") + F.lit(off[i])).cast("string")
+              for i, c in enumerate(coord_cols)],
+        )
+        for off in offsets
+    ])
+    b = right.select(
+        *right_cols,
+        *[F.col(c).cast("double").alias(f"_rb_{c}") for c in coord_cols],
+        F.explode(shifted_keys).alias("cell"),
+    )
+
+    dist2 = None
+    for c in coord_cols:
+        diff = F.col(f"_la_{c}") - F.col(f"_rb_{c}")
+        t = diff * diff
+        dist2 = t if dist2 is None else dist2 + t
+
+    return (
+        a.join(b, on="cell")
+        .where(dist2 <= F.lit(float(radius) ** 2))
+        .select(*left_cols, *right_cols)
+    )
+
+
 def reconcile_edges(
     existing: DataFrame, points: DataFrame, id_col: str,
     coord_cols: list[str], radius: float,
