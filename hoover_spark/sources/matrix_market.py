@@ -1,0 +1,66 @@
+"""Matrix-Market edge-list source — the interchange format of the
+reference's own benchmark graphs.
+
+``test/market_to_binary.c:1-69`` converts MM coordinate/pattern files
+(LAW in-2004, SNAP soc-LiveJournal1 — ``test/update_rates.cpp:13-16``)
+to per-PE binary chunks for streaming ingestion. Here the whole parse
+is a distributed ``spark.read.text``: comment lines dropped, the
+single ``M N nz`` size line recognized by its arity, data lines
+``i j`` re-based from 1- to 0-based (:45-48) — no driver-side file
+I/O, so a 100 GB .mtx parses with full parallelism.
+
+Only ``coordinate pattern`` bodies are supported (2-token data lines),
+exactly the subset ``market_to_binary.c`` asserts (:26-29); weighted
+``coordinate real`` bodies (3-token data lines after the size line)
+raise rather than silently mis-parse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def load_matrix_market(spark: SparkSession, path: str) -> DataFrame:
+    """``edges(src, dst)`` (0-based) from a Matrix-Market
+    coordinate/pattern file."""
+    lines = spark.read.text(path)
+    toks = F.split(F.trim(F.col("value")), r"\s+")
+    data = (
+        lines.where(~F.col("value").startswith("%"))
+        .where(F.length(F.trim(F.col("value"))) > 0)
+        .select(toks.alias("t"))
+    )
+    # the size line 'M N nz' is the only 3-token row in a pattern body
+    bad = data.where(F.size("t") > 3).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"{path}: not a coordinate/pattern Matrix-Market body "
+            "(found a line with >3 fields)"
+        )
+    n_size_lines = data.where(F.size("t") == 3).count()
+    if n_size_lines != 1:
+        raise ValueError(
+            f"{path}: expected exactly one 'M N nz' size line, found "
+            f"{n_size_lines} 3-field lines — weighted (coordinate real) "
+            "bodies are not supported, mirroring market_to_binary.c:26-29"
+        )
+    return data.where(F.size("t") == 2).select(
+        (F.element_at("t", 1).cast("long") - 1).alias("src"),
+        (F.element_at("t", 2).cast("long") - 1).alias("dst"),
+    )
+
+
+def mm_declared_shape(spark: SparkSession, path: str) -> tuple[int, int, int]:
+    """(M, N, nz) from the size line — for validation against the
+    parsed edge count."""
+    lines = spark.read.text(path)
+    toks = F.split(F.trim(F.col("value")), r"\s+")
+    row = (
+        lines.where(~F.col("value").startswith("%"))
+        .where(F.length(F.trim(F.col("value"))) > 0)
+        .select(toks.alias("t"))
+        .where(F.size("t") == 3)
+        .first()
+    )
+    m, n, nz = (int(x) for x in row["t"])
+    return m, n, nz

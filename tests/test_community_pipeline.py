@@ -35,6 +35,41 @@ def test_two_tetrahedra_two_communities(spark):
     assert res[1] != res[5]
 
 
+REF_CASES = "/root/reference/community_test_cases"
+
+
+def _ref_communities(spark, name, radius=3.0):
+    pts = load_points_csv(spark, os.path.join(REF_CASES, name))
+    return {r["vid"]: r["community"] for r in
+            detect_communities_from_points(pts, radius).collect()}
+
+
+def test_reference_csv_4_vert_1_cliq(spark):
+    """The reference's own golden file: one 4-clique -> one community."""
+    res = _ref_communities(spark, "4_vert_1_cliq.csv")
+    assert set(res) == {1, 2, 3, 4}
+    assert len(set(res.values())) == 1
+
+
+def test_reference_csv_8_vert_2_cliq(spark):
+    """Two well-separated 4-cliques -> two communities."""
+    res = _ref_communities(spark, "8_vert_2_cliq.csv")
+    assert set(res) == set(range(1, 9))
+    assert len({res[v] for v in (1, 2, 3, 4)}) == 1
+    assert len({res[v] for v in (5, 6, 7, 8)}) == 1
+    assert res[1] != res[5]
+
+
+def test_reference_csv_8_vert_2_cliq_overlapping(spark):
+    """Overlapping cliques percolate into ONE community. The file's
+    malformed '0.0.11' coordinate must parse as 0.0 (atof semantics),
+    putting vertex 5 at the origin inside the first cluster; vertices
+    6-8 are only 3 points and cannot form a 4-clique."""
+    res = _ref_communities(spark, "8_vert_2_cliq_overlapping.csv")
+    assert set(res) == {1, 2, 3, 4, 5}
+    assert len(set(res.values())) == 1
+
+
 def test_csv_loader_roundtrip(spark, tmp_path):
     p = os.path.join(tmp_path, "pts.csv")
     with open(p, "w") as f:
