@@ -61,9 +61,12 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, content_sha, canonical_id, is_duplicate) — exact content
     dedup via sha256; canonical = min id per hash group.
 
-    One shuffle (groupBy sha) + broadcast-back of the (usually tiny)
-    duplicate-group table; at 100 TB the group table is small because
-    true exact-dup groups are rare relative to the corpus."""
+    One shuffle: the canonical table has one row per DISTINCT sha —
+    near-corpus-cardinality when duplicates are rare — so the
+    back-join is a plain shuffle join on the sha both sides are
+    already hash-partitioned by (no second shuffle of the canon side;
+    AQE upgrades to broadcast when the canon table is genuinely
+    small)."""
     hashed = df.select(
         F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("content_sha")
     )

@@ -44,7 +44,7 @@ def wcc(
     graph: Graph,
     spark: SparkSession | None = None,
     max_iterations: int = 100,
-    pointer_jumping: bool = True,
+    pointer_jumping: bool | str = "auto",
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
@@ -61,6 +61,14 @@ def wcc(
     changed — the reference's ``mark_for_processing`` on edge insert
     (``src/hoover.cpp:603-622``); correct because any label improvement
     must originate at a vertex incident to a new edge.
+
+    ``pointer_jumping="auto"`` (default) runs the jump self-join while
+    it is paying for itself and drops it (saving a per-iteration
+    shuffle of both sides by ``label``) as soon as a round's jump step
+    improves zero labels — on low-diameter graphs that happens after
+    ~2-3 rounds; long-chain graphs keep jumping to the end. ``True`` /
+    ``False`` pin the behavior. Converged labels are identical in all
+    modes (hash-min is monotone); only the round count differs.
     """
     spark = spark or graph.edges.sparkSession
     loop = loop or IterationLoop(
@@ -100,6 +108,9 @@ def wcc(
     else:
         frontier = labels
 
+    jump_enabled = pointer_jumping in (True, "auto")
+    adaptive_jump = pointer_jumping == "auto"
+
     it = start_iter
     watch = StopWatch()
     while it < loop.max_iterations:
@@ -122,7 +133,7 @@ def wcc(
         )
 
         # 2. pointer jumping: label <- min(label, label(label)).
-        if pointer_jumping:
+        if jump_enabled:
             # materialize first — the self-join reads `stepped` on BOTH
             # sides; without this the message join + min-agg subtree
             # executes twice per iteration (exchange reuse is not
@@ -136,20 +147,26 @@ def wcc(
                 .select(
                     "vid",
                     "prev_label",
+                    F.col("label").alias("step_label"),
                     F.least("label", F.coalesce("j_label", "label")).alias("label"),
                     "msg_cnt",
                 )
             )
+        else:
+            stepped = stepped.withColumn("step_label", F.col("label"))
 
         new_labels = loop.hold(stepped)
 
-        # 3. one-pass stats: frontier size, messages shuffled.
+        # 3. one-pass stats: frontier size, messages shuffled, and how
+        #    much the jump step contributed (for adaptive disable).
         stats = new_labels.agg(
             F.sum((F.col("label") < F.col("prev_label")).cast("long")).alias("changed"),
             F.sum("msg_cnt").alias("shuffled"),
+            F.sum((F.col("label") < F.col("step_label")).cast("long")).alias("jump_gain"),
         ).collect()[0]
         changed = int(stats["changed"] or 0)
         shuffled = int(stats["shuffled"] or 0)
+        jump_gain = int(stats["jump_gain"] or 0)
         loop.log(
             iteration=it,
             rows_shuffled=shuffled,
@@ -157,6 +174,10 @@ def wcc(
             frontier_size=changed,
             wall_ms=watch.lap_ms(),
         )
+        if adaptive_jump and jump_enabled and jump_gain == 0:
+            # the chain structure is exhausted; the remaining rounds are
+            # pure neighbor-min — skip the label self-join shuffle
+            jump_enabled = False
 
         labels = new_labels.select("vid", "label")
         labels = loop.save_state(labels, it)

@@ -135,7 +135,14 @@ def repos_table(
     pad_repeats: int = 1,
 ) -> DataFrame:
     """Generate ``repos(repo, path, commit, lang, content)`` — FIXTURES.md §1."""
-    rng = spark.range(n_rows, numPartitions=num_partitions or max(8, n_rows // 500_000))
+    if num_partitions is None:
+        # scale with BOTH the data volume and the session's parallelism —
+        # a fixed floor of 8 under-splits a 32-core session (every core
+        # beyond 8 idles through the generate+extract scan)
+        num_partitions = max(
+            2 * spark.sparkContext.defaultParallelism, n_rows // 500_000
+        )
+    rng = spark.range(n_rows, numPartitions=num_partitions)
     i = F.col("id")
     repo = _repo_expr(i)
     return rng.select(
@@ -276,7 +283,11 @@ def ref_edges(repos: DataFrame, method: str = "builtin") -> DataFrame:
     cross-repo linking the reference-graph needs).
 
     The dictionary side is usually much smaller post-aggregation than
-    the refs side; Catalyst broadcast-joins it when it fits."""
+    the refs side; Catalyst broadcast-joins it when it fits. Both join
+    inputs come out of generators/regex, so Catalyst has no stats and
+    falls back to sort-merge — the SHUFFLE_HASH hint keeps the
+    equi-join a hashed join (no per-side sort of millions of string
+    tokens; AQE still upgrades to broadcast when runtime stats allow)."""
     refs = extract_refs(repos) if method == "builtin" else extract_refs_pandas(repos)
     verts = file_vertices(repos)
     dict_side = verts.select("ref_token", F.col("vid").alias("dst"))
@@ -284,7 +295,7 @@ def ref_edges(repos: DataFrame, method: str = "builtin") -> DataFrame:
         refs.select(
             vid_expr(F.col("src_repo"), F.col("src_path")).alias("src"), "ref_token"
         )
-        .join(dict_side, on="ref_token")
+        .join(dict_side.hint("SHUFFLE_HASH"), on="ref_token")
         .select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])

@@ -125,3 +125,15 @@ def test_self_loop_only_vertex_survives_caching(spark):
     g2 = graph_from_pairs(spark, pairs)  # no caching
     assert {r["vid"] for r in g2.vertices().collect()} == {0, 1, 2, 7}
     assert labels_of(wcc(g2)) == {0: 0, 1: 0, 2: 0, 7: 7}
+
+
+def test_adaptive_pointer_jumping_matches_pinned_modes(spark):
+    """'auto' must produce identical labels to both pinned modes, on a
+    long chain (jump pays to the end) and on a clique-ish graph (jump
+    gain hits zero early and the self-join is dropped)."""
+    from hoover_spark.sources.synthetic import path_graph, two_cliques
+
+    for g_fn in (lambda: path_graph(spark, 65), lambda: two_cliques(spark, k=5, bridge=True)):
+        want = labels_of(wcc(g_fn(), pointer_jumping=True))
+        assert labels_of(wcc(g_fn(), pointer_jumping="auto")) == want
+        assert labels_of(wcc(g_fn(), pointer_jumping=False)) == want

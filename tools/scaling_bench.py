@@ -5,17 +5,24 @@ local[32] on identical input).
 Method:
 - inputs are pre-generated ONCE to parquet on tmpfs (identical bytes
   for every configuration);
-- each (cores, rep) runs in a fresh JVM; the timed section runs twice
-  per JVM and the warm (second) wall is kept;
+- each (cores, rep) runs in a fresh JVM; each workload runs THREE
+  warm-up repetitions before the median of three timed repetitions is
+  kept. Two warm-ups are not enough: thread dumps of slow runs showed
+  tasks burning ~20 CPU-seconds in interpreted java.util.regex until
+  C2 finishes compiling — the 2nd repetition lands in the middle of
+  the JIT compilation storm (measured 77-88 s walls on a workload
+  whose steady state is 3 s). Scaling is a steady-state property.
 - configurations alternate (8, 32, 8, 32, ...) across reps and the
-  per-config MEDIAN of warm walls is reported — the sandbox hypervisor
+  per-config MEDIAN across JVMs is reported — the sandbox hypervisor
   exhibits intermittent CPU steal (observed up to 9 of 32 cores), so
   single runs are unreliable in either direction.
 
-Workloads:
-- edge_extract: regexp reference extraction over 2M synthesized source
+Workloads (sized so parallel work dominates the ~1-2 s fixed per-job
+driver latency — scaling is about the work regime a 100 TB run lives
+in, not about job-scheduling overhead at toy sizes):
+- edge_extract: regexp reference extraction over 8M synthesized source
   files (CPU-bound scan)
-- pagerank3:    3 PageRank iterations on RMAT scale-21 (~16.7M edges)
+- pagerank3:    3 PageRank iterations on RMAT scale-22 (~33M edges)
 - wcc5:         5 hash-min+jump iterations on the same graph
 - minhash:      MinHash signatures over documents x40 (200k docs)
 
@@ -40,13 +47,13 @@ from hoover_spark.operators.graph import Graph
 from hoover_spark.sources.repos import repos_table
 from hoover_spark.sources.synthetic import rmat_graph
 spark = get_spark("scaling_prep", cores=32, extra_conf={"spark.ui.showConsoleProgress": "false"})
-base = "/dev/shm/scaling_inputs"
+base = "/dev/shm/scaling_inputs_v2"
 if not os.path.exists(base + "/_DONE"):
-    rg = rmat_graph(spark, scale=21, edge_factor=8)
+    rg = rmat_graph(spark, scale=22, edge_factor=8)
     g = Graph(rg.edges, num_partitions=128)
     g.clean_edges().write.mode("overwrite").parquet(base + "/rmat_clean")
     g.sym_edges().write.mode("overwrite").parquet(base + "/rmat_sym")
-    repos_table(spark, 2_000_000, num_partitions=128).write.mode("overwrite").parquet(base + "/repos")
+    repos_table(spark, 8_000_000, num_partitions=128).write.mode("overwrite").parquet(base + "/repos")
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     # replicate with a per-copy prefix so copies are NOT near-dups of
     # each other — signature work scales linearly, LSH buckets stay small
@@ -60,7 +67,7 @@ print("PREP_OK", flush=True)
 """
 
 WORKER = r"""
-import json, sys, time
+import json, statistics, sys, time
 cores = int(sys.argv[1])
 from hoover_spark.session import get_spark
 from pyspark.sql import functions as F
@@ -72,16 +79,22 @@ from hoover_spark.operators.wcc import wcc
 from hoover_spark.operators.dedup import minhash_signatures
 from hoover_spark.sources.repos import ref_edges
 
-base = "/dev/shm/scaling_inputs"
+base = "/dev/shm/scaling_inputs_v2"
 out = {}
 
-def timed2(fn):
-    fn()
-    t0 = time.perf_counter(); fn()
-    return round(time.perf_counter() - t0, 2)
+def timed2(fn, n_warm=3, n_timed=3):
+    # steady-state: warm past the C2 JIT compilation storm (slow runs
+    # profile as interpreted java.util.regex; see module docstring)
+    for _ in range(n_warm):
+        fn()
+    walls = []
+    for _ in range(n_timed):
+        t0 = time.perf_counter(); fn()
+        walls.append(time.perf_counter() - t0)
+    return round(statistics.median(walls), 2)
 
 repos = spark.read.parquet(base + "/repos").persist(); repos.count()
-out["edge_extract"] = {"wall": timed2(lambda: ref_edges(repos).count()), "work": 2_000_000}
+out["edge_extract"] = {"wall": timed2(lambda: ref_edges(repos).count()), "work": 8_000_000}
 repos.unpersist()
 
 clean = spark.read.parquet(base + "/rmat_clean")
@@ -90,8 +103,8 @@ g = Graph(clean, num_partitions=4 * cores)
 g._cache["clean_part"] = clean.repartition(4 * cores, "src").persist()
 g._cache["sym_part"] = sym.repartition(4 * cores, "src").persist()
 ne = g.clean_edges().count(); ns = g.sym_edges().count()
-out["pagerank3"] = {"wall": timed2(lambda: pagerank(g, n_iterations=3).count()), "work": 3 * ne}
-out["wcc5"] = {"wall": timed2(lambda: wcc(g, max_iterations=5).count()), "work": 5 * ns}
+out["pagerank3"] = {"wall": timed2(lambda: pagerank(g, n_iterations=3).count(), n_warm=2, n_timed=3), "work": 3 * ne}
+out["wcc5"] = {"wall": timed2(lambda: wcc(g, max_iterations=5).count(), n_warm=2, n_timed=3), "work": 5 * ns}
 g.unpersist()
 
 docs = spark.read.parquet(base + "/docs100").persist(); nd = docs.count()
