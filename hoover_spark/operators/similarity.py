@@ -259,6 +259,7 @@ def ivf_topk(
     query_id: str = "query_id",
     n_lists: int = 16,
     n_probe: int = 4,
+    centroid_rank: "F.Column | None" = None,
 ) -> DataFrame:
     """IVF-style ANN: centroids = deterministically sampled corpus rows
     (id hash-ranked), every vector assigned to its nearest centroid
@@ -268,9 +269,16 @@ def ivf_topk(
     Plan shape: assignment = corpus × broadcast(centroids) argmin;
     probe = queries × broadcast(centroids) top-n_probe; rescore join is
     partitioned by list id — the exact layout a 1000-executor IVF scan
-    wants (each list is a partition-local scan)."""
+    wants (each list is a partition-local scan).
+
+    ``centroid_rank`` overrides the sampling rank expression (default
+    ``pmod(xxhash64(id), 997)``); pass engine-portable arithmetic (e.g.
+    an LCG of the id) when an external oracle must recompute the same
+    centroid choice."""
+    if centroid_rank is None:
+        centroid_rank = F.pmod(F.xxhash64(F.col(id_col)), F.lit(997))
     cents = (
-        vectors.withColumn("_r", F.pmod(F.xxhash64(F.col(id_col)), F.lit(997)))
+        vectors.withColumn("_r", centroid_rank)
         .orderBy("_r", id_col)
         .limit(n_lists)
         .select(F.col(id_col).alias("list_id"), F.col(vec_col).alias("cvec"))

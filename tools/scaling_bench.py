@@ -16,6 +16,13 @@ Method:
   per-config MEDIAN across JVMs is reported — the sandbox hypervisor
   exhibits intermittent CPU steal (observed up to 9 of 32 cores), so
   single runs are unreliable in either direction.
+- each JVM is pinned with ``taskset -c 0-(cores-1)`` and gets a heap of
+  2 GiB/core. Unpinned, "local[8]" is not an 8-core node: the JVM's GC
+  ergonomics size themselves off the 32 physical cores and its GC / JIT
+  / shuffle-netty threads run free on the other 24, so the small config
+  is flattered and measured efficiency understates a real N→4N cluster.
+  Equal (rather than proportional) heaps have the same flattening
+  effect — a 4N cluster has 4x the aggregate memory.
 
 Workloads (sized so parallel work dominates the ~1-2 s fixed per-job
 driver latency — scaling is about the work regime a 100 TB run lives
@@ -24,7 +31,7 @@ in, not about job-scheduling overhead at toy sizes):
   files (CPU-bound scan)
 - pagerank3:    3 PageRank iterations on RMAT scale-22 (~33M edges)
 - wcc5:         5 hash-min+jump iterations on the same graph
-- minhash:      MinHash signatures over documents x40 (200k docs)
+- minhash:      MinHash signatures over documents x160 (800k docs)
 
 Writes bench_scaling.json; BENCH.md summarizes.
 
@@ -47,7 +54,7 @@ from hoover_spark.operators.graph import Graph
 from hoover_spark.sources.repos import repos_table
 from hoover_spark.sources.synthetic import rmat_graph
 spark = get_spark("scaling_prep", cores=32, extra_conf={"spark.ui.showConsoleProgress": "false"})
-base = "/dev/shm/scaling_inputs_v2"
+base = "/dev/shm/scaling_inputs_v3"
 if not os.path.exists(base + "/_DONE"):
     rg = rmat_graph(spark, scale=22, edge_factor=8)
     g = Graph(rg.edges, num_partitions=128)
@@ -57,8 +64,8 @@ if not os.path.exists(base + "/_DONE"):
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     # replicate with a per-copy prefix so copies are NOT near-dups of
     # each other — signature work scales linearly, LSH buckets stay small
-    docs.crossJoin(spark.range(40).select(F.col("id").alias("rep"))).select(
-        (F.col("doc_id") * 40 + F.col("rep")).alias("doc_id"),
+    docs.crossJoin(spark.range(160).select(F.col("id").alias("rep"))).select(
+        (F.col("doc_id") * 160 + F.col("rep")).alias("doc_id"),
         F.concat(F.lit("v"), F.col("rep").cast("string"), F.lit("x "),
                  F.col("text")).alias("text"),
     ).repartition(128).write.mode("overwrite").parquet(base + "/docs100")
@@ -79,7 +86,7 @@ from hoover_spark.operators.wcc import wcc
 from hoover_spark.operators.dedup import minhash_signatures
 from hoover_spark.sources.repos import ref_edges
 
-base = "/dev/shm/scaling_inputs_v2"
+base = "/dev/shm/scaling_inputs_v3"
 out = {}
 
 def timed2(fn, n_warm=3, n_timed=3):
@@ -114,12 +121,24 @@ print("RESULT " + json.dumps(out), flush=True)
 """
 
 
-def run(script: str, cores: int, tag: str) -> dict | None:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), HOOVER_SPARK_DRIVER_MEM="32g")
-    p = subprocess.run(
-        [sys.executable, "-c", script, str(cores)],
-        capture_output=True, text=True, env=env, timeout=2400,
+def run(script: str, cores: int, tag: str, pin: bool = True) -> dict | None:
+    # Emulate an N-core NODE, not N Spark threads on a 32-core machine:
+    # - taskset pins the whole JVM (workers + GC + JIT + netty) to
+    #   exactly `cores` hardware threads. Without it, local[8]'s GC
+    #   ergonomics size themselves off the 32 physical cores and its
+    #   GC/JIT threads run free on the other 24 — the "8-core" baseline
+    #   is really a 8-worker/32-core hybrid, which understates scaling.
+    # - heap scales with cores (2 GiB/core), the way a 4N-executor
+    #   cluster has 4x the memory of an N-executor one.
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cores),
+        HOOVER_SPARK_DRIVER_MEM=f"{2 * cores}g",
     )
+    cmd = [sys.executable, "-c", script, str(cores)]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
