@@ -234,6 +234,33 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: LSH candidate pairs fed to the engine's own
+    WCC kernel; cluster id = min doc id of the component, singletons
+    keep their own id (dedup at corpus scale IS connected components)."""
+    from hoover_spark.operators.dedup import dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=N_HASHES, band_size=BAND,
+        k=SHINGLE_K, max_bucket=LSH_MAX_BUCKET,
+    )
+    return dup_clusters(pairs, docs.select(F.col("doc_id").alias("id"))).select(
+        "id", "cluster_id"
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (hyperplane-LSH candidates +
+    exact unit-vector rescore, threshold filter)."""
+    from hoover_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, threshold=0.2, n_planes=8, n_tables=4
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
@@ -489,6 +516,30 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (probe-then-rescore): centroid rank uses portable LCG
+    arithmetic so the DuckDB twin recomputes the identical centroid
+    choice, assignment, probes, and rescored top-k."""
+    from hoover_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rank = F.pmod(
+        F.pmod(F.col("vec_id") * F.lit(1103515245) + F.lit(12345), F.lit(2147483647)),
+        F.lit(997),
+    )
+    return ivf_topk(
+        emb, queries, k=5, n_lists=16, n_probe=4, centroid_rank=rank
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     from hoover_spark.operators.multimodal import extract_features, synthetic_media
 
@@ -677,6 +728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "embedding_near_dup": q_embedding_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
@@ -696,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join": q_spatial_join,
         "repos_wcc": q_repos_wcc,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "gbad_patterns": q_gbad_patterns,
         "gbad_anomalies": q_gbad_anomalies,
@@ -981,6 +1035,40 @@ FROM h JOIN c ON h.content_sha = c.content_sha
 """,
         "minhash_signatures": _minhash_sig_sql(),
         "minhash_lsh_pairs": _lsh_pairs_sql(),
+        "dedup_clusters": f"""
+WITH RECURSIVE {_lsh_candidates_ctes()},
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS vid, doc_id AS r FROM documents
+  UNION
+  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.vid
+)
+SELECT vid AS id, min(r) AS cluster_id FROM reach GROUP BY vid
+""",
+        "embedding_near_dup": """
+WITH w AS (
+  SELECT t.range AS t, p.range AS p, d.range AS d,
+         CAST(((1103515245*(t.range*1000003 + p.range*64 + d.range) + 12345) % 2147483647) % 2001 - 1000 AS DOUBLE) AS wt
+  FROM range(4) t, range(8) p, range(64) d
+),
+vd AS (SELECT vec_id, CAST(u.d AS INT) AS d, CAST(embedding[u.d + 1] AS DOUBLE) AS val
+       FROM embeddings, UNNEST(range(64)) AS u(d)),
+dots AS (SELECT vec_id, w.t, w.p, sum(w.wt * vd.val) AS dot
+         FROM vd JOIN w ON w.d = vd.d GROUP BY 1, 2, 3),
+buckets AS (SELECT vec_id, t, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM buckets a JOIN buckets b USING (t, bucket) WHERE a.vec_id < b.vec_id),
+ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+vn AS (SELECT vec_id, list_transform(vv, x -> x / sqrt(list_dot_product(vv, vv))) AS u FROM ve),
+scored AS (SELECT c.id_a, c.id_b, list_dot_product(ua.u, ub.u) AS cos_raw
+           FROM cand c JOIN vn ua ON ua.vec_id = c.id_a JOIN vn ub ON ub.vec_id = c.id_b)
+SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM scored WHERE cos_raw >= 0.2
+""",
         "simhash": f"""
 WITH {_shingle_sql()},
 m AS (SELECT id, ({simhash_a}*code + {simhash_b}) % {HASH_P} AS mx FROM sh),
@@ -1175,6 +1263,42 @@ r AS (SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
              row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
       FROM scored)
 SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+""",
+        "ivf_topk": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+vn AS (SELECT vec_id, list_transform(vv, x -> x / sqrt(list_dot_product(vv, vv))) AS u FROM v),
+cents AS (
+  SELECT vn.vec_id AS list_id, vn.u AS c
+  FROM v JOIN vn USING (vec_id)
+  ORDER BY ((v.vec_id * 1103515245 + 12345) % 2147483647) % 997, v.vec_id
+  LIMIT 16
+),
+asg AS (
+  SELECT vec_id, list_id, u,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(u, c) DESC, list_id ASC) AS rn
+  FROM vn CROSS JOIN cents
+),
+assigned AS (SELECT vec_id, list_id, u FROM asg WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, u AS qu FROM vn WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, list_id, qu,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY list_dot_product(qu, c) DESC, list_id ASC) AS rn
+  FROM q CROSS JOIN cents
+),
+pr AS (SELECT query_id, list_id, qu FROM probes WHERE rn <= 4),
+scored AS (
+  SELECT pr.query_id, a.vec_id, list_dot_product(pr.qu, a.u) AS cos_raw
+  FROM pr JOIN assigned a USING (list_id)
+  WHERE a.vec_id <> pr.query_id
+),
+rk AS (SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+              row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+       FROM scored)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= 5
 """,
         "multimodal_features": """
 WITH ids AS (SELECT u.i AS id FROM UNNEST(range(200)) AS u(i)),

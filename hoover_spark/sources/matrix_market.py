@@ -20,9 +20,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def load_matrix_market(spark: SparkSession, path: str) -> DataFrame:
+def load_matrix_market(
+    spark: SparkSession, path: str, validate: bool = True
+) -> DataFrame:
     """``edges(src, dst)`` (0-based) from a Matrix-Market
-    coordinate/pattern file."""
+    coordinate/pattern file.
+
+    ``validate=True`` (default) runs two extra validation scans (reject
+    >3-field lines, require exactly one size line). On a ~100 GB .mtx
+    those scans double the load cost — pass ``validate=False`` after
+    the file's shape is known (e.g. a re-read of an already-ingested
+    graph) and rely on :func:`mm_declared_shape` vs the parsed count."""
     lines = spark.read.text(path)
     toks = F.split(F.trim(F.col("value")), r"\s+")
     data = (
@@ -30,20 +38,21 @@ def load_matrix_market(spark: SparkSession, path: str) -> DataFrame:
         .where(F.length(F.trim(F.col("value"))) > 0)
         .select(toks.alias("t"))
     )
-    # the size line 'M N nz' is the only 3-token row in a pattern body
-    bad = data.where(F.size("t") > 3).limit(1).count()
-    if bad:
-        raise ValueError(
-            f"{path}: not a coordinate/pattern Matrix-Market body "
-            "(found a line with >3 fields)"
-        )
-    n_size_lines = data.where(F.size("t") == 3).count()
-    if n_size_lines != 1:
-        raise ValueError(
-            f"{path}: expected exactly one 'M N nz' size line, found "
-            f"{n_size_lines} 3-field lines — weighted (coordinate real) "
-            "bodies are not supported, mirroring market_to_binary.c:26-29"
-        )
+    if validate:
+        # the size line 'M N nz' is the only 3-token row in a pattern body
+        bad = data.where(F.size("t") > 3).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"{path}: not a coordinate/pattern Matrix-Market body "
+                "(found a line with >3 fields)"
+            )
+        n_size_lines = data.where(F.size("t") == 3).count()
+        if n_size_lines != 1:
+            raise ValueError(
+                f"{path}: expected exactly one 'M N nz' size line, found "
+                f"{n_size_lines} 3-field lines — weighted (coordinate real) "
+                "bodies are not supported, mirroring market_to_binary.c:26-29"
+            )
     return data.where(F.size("t") == 2).select(
         (F.element_at("t", 1).cast("long") - 1).alias("src"),
         (F.element_at("t", 2).cast("long") - 1).alias("dst"),

@@ -32,6 +32,8 @@ in, not about job-scheduling overhead at toy sizes):
 - pagerank3:    3 PageRank iterations on RMAT scale-22 (~33M edges)
 - wcc5:         5 hash-min+jump iterations on the same graph
 - minhash:      MinHash signatures over documents x160 (800k docs)
+- sha_verify:   sha256 content invariant over the same 8M files (the
+                north rule per-row check; compute-bound)
 
 Writes bench_scaling.json; BENCH.md summarizes.
 
@@ -55,12 +57,19 @@ from hoover_spark.sources.repos import repos_table
 from hoover_spark.sources.synthetic import rmat_graph
 spark = get_spark("scaling_prep", cores=32, extra_conf={"spark.ui.showConsoleProgress": "false"})
 base = "/dev/shm/scaling_inputs_v3"
-if not os.path.exists(base + "/_DONE"):
+
+def done(name):
+    # per-dataset idempotence: parquet _SUCCESS marks a complete write
+    return os.path.exists(f"{base}/{name}/_SUCCESS")
+
+if not (done("rmat_clean") and done("rmat_sym")):
     rg = rmat_graph(spark, scale=22, edge_factor=8)
     g = Graph(rg.edges, num_partitions=128)
     g.clean_edges().write.mode("overwrite").parquet(base + "/rmat_clean")
     g.sym_edges().write.mode("overwrite").parquet(base + "/rmat_sym")
+if not done("repos"):
     repos_table(spark, 8_000_000, num_partitions=128).write.mode("overwrite").parquet(base + "/repos")
+if not done("docs100"):
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     # replicate with a per-copy prefix so copies are NOT near-dups of
     # each other — signature work scales linearly, LSH buckets stay small
@@ -69,7 +78,6 @@ if not os.path.exists(base + "/_DONE"):
         F.concat(F.lit("v"), F.col("rep").cast("string"), F.lit("x "),
                  F.col("text")).alias("text"),
     ).repartition(128).write.mode("overwrite").parquet(base + "/docs100")
-    open(base + "/_DONE", "w").close()
 print("PREP_OK", flush=True)
 """
 
@@ -84,7 +92,7 @@ from hoover_spark.operators.graph import Graph
 from hoover_spark.operators.pagerank import pagerank
 from hoover_spark.operators.wcc import wcc
 from hoover_spark.operators.dedup import minhash_signatures
-from hoover_spark.sources.repos import ref_edges
+from hoover_spark.sources.repos import ref_edges, verify_content_sha256
 
 base = "/dev/shm/scaling_inputs_v3"
 out = {}
@@ -102,6 +110,7 @@ def timed2(fn, n_warm=3, n_timed=3):
 
 repos = spark.read.parquet(base + "/repos").persist(); repos.count()
 out["edge_extract"] = {"wall": timed2(lambda: ref_edges(repos).count()), "work": 8_000_000}
+out["sha_verify"] = {"wall": timed2(lambda: verify_content_sha256(repos, 8_000_000).count()), "work": 8_000_000}
 repos.unpersist()
 
 clean = spark.read.parquet(base + "/rmat_clean")
@@ -161,7 +170,7 @@ def main():
             print(f"  -> { {k: v['wall'] for k, v in results[cores][-1].items()} }", flush=True)
 
     summary = {}
-    for wl in ("edge_extract", "pagerank3", "wcc5", "minhash"):
+    for wl in ("edge_extract", "sha_verify", "pagerank3", "wcc5", "minhash"):
         best = {}
         for cores in (8, 32):
             walls = [rr[wl]["wall"] for rr in results[cores]]
