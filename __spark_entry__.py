@@ -487,17 +487,24 @@ def q_gcn_aggregate(spark, sf_dir):
 #: DuckDB oracle can recompute WCC over the *identical* bytes (the
 #: generator itself uses xxhash64 vids, which SQL cannot recompute).
 REPOS_EDGES_PATH = "/tmp/hoover_spark_oracle/repos_edges"
+REPOS_TABLE_PATH = "/tmp/hoover_spark_oracle/repos_table"
 
 
 def q_repos_wcc(spark, sf_dir):
     """Flagship integration: synthesize the repos source table, verify
     the per-row sha256 invariant, extract the reference graph, run WCC.
     The derived edge table is written to parquet and re-read, so the
-    DuckDB twin runs recursive-CTE reachability over the same file."""
+    DuckDB twin runs recursive-CTE reachability over the same file.
+
+    The repos table itself is materialized before verification — the
+    north rule checks content sha256 of the table *as read*, and fusing
+    generation + recompute into one codegen span overflows janino's
+    64 KB method limit (interpreted fallback; correct but slow)."""
     from hoover_spark.sources.repos import ref_edges, repos_table, verify_content_sha256
 
     n_rows = 2000
-    repos = repos_table(spark, n_rows)
+    repos_table(spark, n_rows).write.mode("overwrite").parquet(REPOS_TABLE_PATH)
+    repos = spark.read.parquet(REPOS_TABLE_PATH)
     assert verify_content_sha256(repos, n_rows).limit(1).count() == 0
     ref_edges(repos).write.mode("overwrite").parquet(REPOS_EDGES_PATH)
     g = Graph(spark.read.parquet(REPOS_EDGES_PATH), num_partitions=16)

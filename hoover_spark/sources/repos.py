@@ -165,7 +165,13 @@ def verify_content_sha256(repos: DataFrame, n_rows: int, pad_repeats: int = 1) -
     recomputation (row index recovered from ``path``). Empty ⇔ intact.
 
     Runs entirely JVM-side: recompute the content expression from the
-    parsed index and compare ``sha2(·,256)`` — one scan, no shuffle."""
+    parsed index and compare ``sha2(·,256)`` — one scan, no shuffle.
+
+    Call this on the table *as read from storage* (the north-rule
+    semantics). Verifying an unmaterialized generated DataFrame fuses
+    the generator's content expression AND this recomputation into one
+    whole-stage-codegen span, which overflows janino's 64 KB method
+    limit and silently falls back to interpreted evaluation."""
     i = F.regexp_extract("path", r"/f(\d+)\.", 1).cast("long")
     expected = F.sha2(_content_expr(i, n_rows, pad_repeats), 256)
     actual = F.sha2(F.col("content"), 256)
