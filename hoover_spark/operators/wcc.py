@@ -62,11 +62,25 @@ def wcc(
     (``src/hoover.cpp:603-622``); correct because any label improvement
     must originate at a vertex incident to a new edge.
 
-    ``pointer_jumping="auto"`` (default) runs the jump self-join while
-    it is paying for itself and drops it (saving a per-iteration
-    shuffle of both sides by ``label``) as soon as a round's jump step
-    improves zero labels — on low-diameter graphs that happens after
-    ~2-3 rounds; long-chain graphs keep jumping to the end. ``True`` /
+    ``pointer_jumping="auto"`` (default) keeps the jump self-join OFF
+    during the flood phase (large frontier) and enables it only once
+    the frontier drops below ``max(|V|/64, 1024)`` — the convergence
+    tail, where straggler chains remain and the V-sized self-join is
+    cheap relative to the rounds it removes. Rationale is cost
+    structure, not sandbox timing (single-box walls at this job-count
+    regime swing 2-8x under hypervisor steal — measured 19-152 s for
+    byte-identical runs): during the flood phase the jump materializes
+    the state an extra time and shuffles both sides by ``label`` every
+    round — 2x|V| extra shuffled rows per round at cluster scale —
+    while removing only ~30 % of rounds (16 vs 23 measured on the 300k
+    repo graph, jump improving 35-50 % as many labels per round as the
+    message step). Doubling only collapses the *pointer* graph, which
+    aligns with the underlying topology on monotone-id chains but not
+    on randomly-labelled paths (measured: a 100k scrambled-id path does
+    not converge in O(log n) rounds with jumping); for genuinely
+    high-diameter graphs use
+    :func:`wcc_two_phase`, whose per-partition union-find contraction
+    collapses local chains before any shuffle round. ``True`` /
     ``False`` pin the behavior. Converged labels are identical in all
     modes (hash-min is monotone); only the round count differs.
     """
@@ -108,8 +122,12 @@ def wcc(
     else:
         frontier = labels
 
-    jump_enabled = pointer_jumping in (True, "auto")
     adaptive_jump = pointer_jumping == "auto"
+    # auto: flood phase runs without the jump; the tail (small frontier)
+    # enables it. Pinned True/False skip the adaptation entirely.
+    jump_enabled = pointer_jumping is True
+    jump_retired = False  # once auto disables an enabled jump, stay off
+    n_vertices = None
 
     it = start_iter
     watch = StopWatch()
@@ -163,10 +181,12 @@ def wcc(
             F.sum((F.col("label") < F.col("prev_label")).cast("long")).alias("changed"),
             F.sum("msg_cnt").alias("shuffled"),
             F.sum((F.col("label") < F.col("step_label")).cast("long")).alias("jump_gain"),
+            F.count(F.lit(1)).alias("total"),
         ).collect()[0]
         changed = int(stats["changed"] or 0)
         shuffled = int(stats["shuffled"] or 0)
         jump_gain = int(stats["jump_gain"] or 0)
+        n_vertices = int(stats["total"] or 0)
         loop.log(
             iteration=it,
             rows_shuffled=shuffled,
@@ -174,10 +194,20 @@ def wcc(
             frontier_size=changed,
             wall_ms=watch.lap_ms(),
         )
-        if adaptive_jump and jump_enabled and jump_gain == 0:
-            # the chain structure is exhausted; the remaining rounds are
-            # pure neighbor-min — skip the label self-join shuffle
-            jump_enabled = False
+        if adaptive_jump:
+            if jump_enabled and jump_gain == 0:
+                # the remaining chains are exhausted; the rest is pure
+                # neighbor-min — retire the label self-join shuffle
+                jump_enabled = False
+                jump_retired = True
+            elif (
+                not jump_enabled
+                and not jump_retired
+                and 0 < changed < max(n_vertices // 64, 1024)
+            ):
+                # tail phase: straggler chains remain and the V-sized
+                # self-join is cheap — compress them
+                jump_enabled = True
 
         labels = new_labels.select("vid", "label")
         labels = loop.save_state(labels, it)
