@@ -120,3 +120,49 @@ def test_embedding_near_dup_pairs(spark, vec_df):
     }
     assert (0, 100) in pairs
     assert (1, 101) in pairs
+
+
+def test_high_dim_512(spark):
+    """dim=512 cost-class coverage: unit-vec normalization is O(d) (a
+    prior revision recomputed the norm inside the per-element lambda —
+    O(d^2), invisible at DIM=16), and LSH plane weights derive from the
+    element index (no 512-literal plans). Exact top-k must match numpy;
+    LSH must return well-formed ranked rows from bucketed candidates."""
+    dim, n = 512, 60
+    rng = np.random.RandomState(11)
+    base = rng.randn(6, dim)
+    vs = np.array(
+        [base[i % 6] + 0.05 * rng.randn(dim) for i in range(n)], dtype=np.float32
+    )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame([(i, vs[i].tolist()) for i in range(n)], schema=schema)
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    vn = vs.astype(np.float64)
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    res = cosine_topk(df, queries, k=5).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for q in range(4):
+        expect = sorted(
+            (i for i in range(n) if i != q), key=lambda i: (-sims[q, i], i)
+        )[:5]
+        assert [v for _, v in sorted(got[q])] == expect, q
+
+    ann = lsh_ann_topk(df, queries, k=5, n_planes=6, n_tables=2).collect()
+    by_q = {}
+    for r in ann:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1)), q
+        assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in rows), q
