@@ -81,3 +81,78 @@ def test_mm_batch_vs_stream_equivalence(spark, tmp_path):
     )
     stream_labels = {r["vid"]: r["label"] for r in state.state().collect()}
     assert stream_labels == batch_labels
+
+
+# ---------------------------------------------------------------------------
+# binary edge format (market_to_binary.c output layout)
+# ---------------------------------------------------------------------------
+
+def write_binary(path, edges, m=8):
+    """Write edges in market_to_binary.c:54-66 layout: int32 LE header
+    (M, N, nz) then the full I array then the full J array (0-based)."""
+    import numpy as np
+
+    src = np.array([i - 1 for i, _ in edges], dtype="<i4")
+    dst = np.array([j - 1 for _, j in edges], dtype="<i4")
+    hdr = np.array([m, m, len(edges)], dtype="<i4")
+    with open(path, "wb") as f:
+        f.write(hdr.tobytes())
+        f.write(src.tobytes())
+        f.write(dst.tobytes())
+
+
+def test_binary_roundtrip_matches_mm(spark, tmp_path):
+    """The binary loader and the MM loader yield the identical edge set
+    for the same graph (the reference's own conversion invariant)."""
+    from hoover_spark.sources.matrix_market import (
+        binary_edges_shape,
+        load_binary_edges,
+    )
+
+    mm = os.path.join(tmp_path, "g.mtx")
+    bin_p = os.path.join(tmp_path, "g.bin")
+    write_mm(mm, MM_EDGES)
+    write_binary(bin_p, MM_EDGES)
+
+    from_mm = {(r["src"], r["dst"]) for r in load_matrix_market(spark, mm).collect()}
+    from_bin = {
+        (r["src"], r["dst"])
+        for r in load_binary_edges(spark, bin_p, num_partitions=4).collect()
+    }
+    assert from_bin == from_mm
+    assert binary_edges_shape(open(bin_p, "rb").read()) == (8, 8, len(MM_EDGES))
+
+
+def test_binary_directory_parallel_decode(spark, tmp_path):
+    """A directory of per-chunk binary files (the reference's per-PE
+    sharding) decodes as the union of its shards."""
+    from hoover_spark.sources.matrix_market import load_binary_edges
+
+    d = os.path.join(tmp_path, "shards")
+    os.makedirs(d)
+    write_binary(os.path.join(d, "part0.bin"), MM_EDGES[:4])
+    write_binary(os.path.join(d, "part1.bin"), MM_EDGES[4:])
+    got = {(r["src"], r["dst"]) for r in load_binary_edges(spark, d).collect()}
+    assert got == {(i - 1, j - 1) for i, j in MM_EDGES}
+
+
+def test_binary_truncated_rejected(spark, tmp_path):
+    from hoover_spark.sources.matrix_market import load_binary_edges
+
+    p = os.path.join(tmp_path, "bad.bin")
+    write_binary(p, MM_EDGES)
+    with open(p, "r+b") as f:
+        f.truncate(3 * 4 + 5 * 4)  # header + only 5 of the 16 edge words
+    with pytest.raises(Exception, match="expected"):
+        load_binary_edges(spark, p).collect()
+
+
+def test_binary_wcc_end_to_end(spark, tmp_path):
+    """Binary-loaded graph runs the WCC kernel: 2 components."""
+    from hoover_spark.sources.matrix_market import load_binary_edges
+
+    p = os.path.join(tmp_path, "g.bin")
+    write_binary(p, MM_EDGES)
+    labels = wcc(Graph(load_binary_edges(spark, p)), spark)
+    n_comp = labels.select("label").distinct().count()
+    assert n_comp == 2
