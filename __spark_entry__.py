@@ -296,6 +296,20 @@ def q_lang_id(spark, sf_dir):
     return lang_id(docs, "doc_id", "text")
 
 
+def q_corpus_curate(spark, sf_dir):
+    """Composite curation gate: quality score + language ID + near-dup
+    clustering (LSH → the engine's own WCC) folded into one keep/drop
+    decision table — the end-to-end training-data pipeline query."""
+    from hoover_spark.operators.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs, "doc_id", "text", min_quality=0.65, keep_langs=("en",),
+        n_hashes=N_HASHES, band_size=BAND, k=SHINGLE_K,
+        max_bucket=LSH_MAX_BUCKET,
+    )
+
+
 def q_token_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -741,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "corpus_curate": q_corpus_curate,
         "token_counts": q_token_counts,
         "winnow_fingerprints": q_winnow_fingerprints,
         "embedding_norms": q_embedding_norms,
@@ -1135,6 +1150,44 @@ FROM m
 WITH s AS (SELECT doc_id AS id, {score_cols} FROM documents),
 b AS (SELECT id, {', '.join(f's_{l}' for l in langs)}, {best} AS best FROM s)
 SELECT id, CASE WHEN best <= 0 THEN 'und' ELSE CASE {pred_case} END END AS pred_lang FROM b
+""",
+        "corpus_curate": f"""
+WITH RECURSIVE {_lsh_candidates_ctes()},
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS vid, doc_id AS r FROM documents
+  UNION
+  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.vid
+),
+clus AS (SELECT vid AS id, min(r) AS cluster_id FROM reach GROUP BY vid),
+qt AS (
+  SELECT doc_id AS id, length(text) AS n_chars,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct
+  FROM documents
+),
+qm AS (
+  SELECT id,
+         round(
+           greatest(0.0, least(1.0, len(toks) / 64.0)) * 0.4 +
+           greatest(0.0, least(1.0, len(list_distinct(toks)) * 1.0 / len(toks))) * 0.4 +
+           greatest(0.0, least(1.0, 1.0 - (punct * 1.0 / n_chars) * 10.0)) * 0.2, 6) AS quality
+  FROM qt
+),
+ls AS (SELECT doc_id AS id, {score_cols} FROM documents),
+lb AS (SELECT id, {', '.join(f's_{l}' for l in langs)}, {best} AS best FROM ls),
+lg AS (SELECT id, CASE WHEN best <= 0 THEN 'und' ELSE CASE {pred_case} END END AS pred_lang FROM lb)
+SELECT qm.id, qm.quality, lg.pred_lang, clus.cluster_id,
+       (qm.quality >= 0.65 AND qm.id = clus.cluster_id AND lg.pred_lang IN ('en')) AS keep,
+       CASE WHEN qm.quality < 0.65 THEN 'low_quality'
+            WHEN qm.id <> clus.cluster_id THEN 'near_duplicate'
+            WHEN lg.pred_lang NOT IN ('en') THEN 'lang'
+       END AS drop_reason
+FROM qm JOIN lg ON lg.id = qm.id JOIN clus ON clus.id = qm.id
 """,
         "token_counts": """
 WITH t AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
