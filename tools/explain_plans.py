@@ -97,6 +97,14 @@ def main():
 
     sections.append(("ivf_topk (max_by assignment, broadcast centroids)", plan_of(ivf_topk(emb, queries))))
 
+    # 9. corpus_curate decision join — per-row feature projections share
+    # one pruned documents scan; only light id-keyed columns shuffle
+    # (the WCC clustering inside runs eagerly and lands as a
+    # checkpointed labels table in this plan)
+    from hoover_spark.operators.curation import curate_corpus
+
+    sections.append(("corpus_curate (decision join over id-keyed features)", plan_of(curate_corpus(docs))))
+
     report = []
     for title, plan in sections:
         checks = {
