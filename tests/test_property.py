@@ -100,3 +100,42 @@ def test_shingle_codes_match_duckdb_on_unicode(spark, texts):
     # must fit; codes are provably < 256 * sum(31^j, j<5).
     bound = 256 * sum(31**j for j in range(5))
     assert all(0 <= c < bound for _, _, c in got)
+
+
+@given(pairs=edge_lists)
+@SETTINGS
+def test_pagerank_matches_power_iteration(spark, pairs):
+    """Bounded-iteration PageRank matches the independent numpy power
+    iteration to allclose 1e-9 on any multigraph (north-rule tolerance
+    is 1e-6; we hold a stricter bar on small graphs)."""
+    import numpy as np
+
+    from hoover_spark.operators.pagerank import pagerank
+    from tests.oracles import pagerank_oracle
+
+    # the oracle treats pairs as a simple directed graph; dedup and
+    # drop self-loops to align with Graph.clean_edges() semantics
+    simple = sorted({(s, d) for s, d in pairs if s != d})
+    if not simple:
+        return
+    edges = spark.createDataFrame(simple, schema="src long, dst long")
+    got = {
+        r["vid"]: r["rank"]
+        for r in pagerank(Graph(edges), spark, n_iterations=3).collect()
+    }
+    want = pagerank_oracle(simple, n_iter=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert np.isclose(got[v], want[v], atol=1e-9), (v, got[v], want[v])
+
+
+@given(pairs=edge_lists)
+@SETTINGS
+def test_triangle_count_matches_bruteforce(spark, pairs):
+    """Degree-oriented wedge-join triangle count == brute force on any
+    multigraph (duplicates/self-loops must not inflate the count)."""
+    from hoover_spark.operators.triangles import triangle_count
+    from tests.oracles import triangle_count_oracle
+
+    edges = spark.createDataFrame(pairs, schema="src long, dst long")
+    assert triangle_count(Graph(edges)) == triangle_count_oracle(pairs)
