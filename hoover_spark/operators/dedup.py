@@ -23,6 +23,11 @@ Scale notes (the part that matters at 1000 executors):
 - All hashing is explicit affine/polynomial arithmetic mod
   ``HASH_P`` (`hoover_spark.functions.text.HASH_P`) so the DuckDB
   oracle can recompute signatures bit-for-bit.
+- Signature tables are ``localCheckpoint``-ed (each feeds ≥2 consumers;
+  recompute would double the shingle scan). The checkpoint blocks are
+  released by Spark's ContextCleaner once callers drop the returned
+  DataFrames — long-lived sessions don't accumulate them beyond live
+  references.
 
 Reference note: the reference engine has no dedup (it is a graph
 runtime); these operators are the corpus-pipeline capability layer the
