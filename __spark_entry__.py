@@ -214,6 +214,28 @@ def q_triangles_per_vertex(spark, sf_dir):
     )
 
 
+def q_vertex_metrics(spark, sf_dir):
+    """Composite per-vertex analytics table — degree, component label,
+    component size, triangle count — the standard link-graph deliverable
+    (one row per vertex, all kernels joined on vid). The kernels share
+    one cached Graph, so the edge views materialize once."""
+    g = Graph(_customer_edges(spark, sf_dir))
+    deg = g.degrees().select("vid", F.col("degree").cast("long").alias("degree"))
+    labels = wcc(g, spark=spark).select("vid", "label")
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    tri = per_vertex_triangles(g).select(
+        "vid", F.col("triangles").cast("long").alias("triangles")
+    )
+    return (
+        labels.join(deg, on="vid")
+        .join(sizes, on="label")
+        .join(tri, on="vid")
+        .select("vid", "degree", "label", "component_size", "triangles")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs, "doc_id", "text").select(
@@ -746,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mode_lp_1iter": q_mode_lp_1iter,
         "triangle_total": q_triangle_total,
         "triangles_per_vertex": q_triangles_per_vertex,
+        "vertex_metrics": q_vertex_metrics,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1048,6 +1071,35 @@ corners AS (
 ),
 cc AS (SELECT vid, count(*) AS c FROM corners GROUP BY 1)
 SELECT v.vid, coalesce(cc.c, 0) AS triangles FROM v LEFT JOIN cc ON v.vid = cc.vid
+""",
+        "vertex_metrics": f"""
+WITH RECURSIVE {_CUSTOMER_EDGES_SQL},
+reach(vid, r) AS (
+  SELECT vid, vid FROM v
+  UNION
+  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.vid
+),
+labels AS (SELECT vid, min(r) AS label FROM reach GROUP BY vid),
+sizes AS (SELECT label, count(*) AS component_size FROM labels GROUP BY 1),
+-- count(DISTINCT …): under WITH RECURSIVE DuckDB compiles the sym
+-- UNION as a recursive union and can leave duplicate rows (observed:
+-- 4 dup edges at sf0.01) — distinct-neighbor degree is robust to it
+deg AS (SELECT src AS vid, count(DISTINCT dst) AS degree FROM sym GROUP BY 1),
+canon AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d FROM e0),
+tris AS (
+  SELECT a.s AS u, a.d AS v2, b.d AS w
+  FROM canon a JOIN canon b ON b.s = a.d JOIN canon c ON c.s = a.s AND c.d = b.d
+),
+corners AS (
+  SELECT u AS vid FROM tris UNION ALL SELECT v2 FROM tris UNION ALL SELECT w FROM tris
+),
+cc AS (SELECT vid, count(*) AS c FROM corners GROUP BY 1)
+SELECT l.vid, deg.degree, l.label, sizes.component_size,
+       coalesce(cc.c, 0) AS triangles
+FROM labels l
+JOIN deg ON deg.vid = l.vid
+JOIN sizes ON sizes.label = l.label
+LEFT JOIN cc ON cc.vid = l.vid
 """,
         "dedup_exact": """
 WITH h AS (SELECT doc_id AS id, sha256(text) AS content_sha FROM documents),
