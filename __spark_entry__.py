@@ -616,7 +616,10 @@ def _gbad_counts(spark, sf_dir):
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     verts = pts.select(F.col("id").alias("vid"))
-    return pattern_counts(sym, verts)
+    # the DuckDB oracle enumerates uncapped; this geometric graph is
+    # degree-bounded (max 9 at sf0.01, 77 at sf0.1) so opting out of
+    # the library's default-on degree cap keeps both sides identical
+    return pattern_counts(sym, verts, max_degree=None)
 
 
 def q_gbad_patterns(spark, sf_dir):

@@ -200,12 +200,25 @@ def ngram_jaccard(
     # counts row; an inner join would silently drop their candidate
     # pairs (two identical 2-word docs share full minhash signatures
     # but would never be scored). Left-join the counts and resolve the
-    # zero-gram/zero-gram case by exact content equality (sha256 of the
-    # tiny sub-n-token doc set, broadcast).
-    zero_docs = F.broadcast(
-        df.where(F.size(t) < n).select(
+    # zero-gram/zero-gram case by exact content equality (sha256).
+    #
+    # Scale bound: the set of sub-n-token docs is UNBOUNDED at corpus
+    # scale (billions of short strings), so it must never be broadcast.
+    # Semi-join it down to ids that actually appear in a candidate pair
+    # first — candidates are already sub-quadratic — then let the
+    # planner pick the join (AQE upgrades to broadcast when the pruned
+    # set really is small).
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    zero_docs = (
+        df.where(F.size(t) < n)
+        .select(
             F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("sha")
         )
+        .join(pair_ids, on="id", how="left_semi")
     )
     inter0 = F.coalesce("n_inter", F.lit(0))
     na = F.coalesce("na", F.lit(0))

@@ -63,13 +63,21 @@ def n_edges_expr(matrix) -> F.Column:
 def pattern_counts(
     sym_edges: DataFrame,
     vertices: DataFrame,
-    max_degree: int | None = None,
+    max_degree: int | None = 64,
 ) -> DataFrame:
     """(matrix, count) — GBAD subgraph-pattern frequencies.
 
     ``sym_edges(src, dst)`` must hold both directions;
     ``vertices(vid)`` the vertex set. Mirrors ``explore_subgraphs``
     state-for-state (multiplicity included).
+
+    The ≤4-vertex state walk is combinatorial in neighborhood density
+    (the reference's DFS blows up the same way), so the degree cap is
+    **default-on**: vertices above ``max_degree`` are excluded before
+    exploration, bounding the frontier at O(|V| · max_degree³) states.
+    One hot vertex at 100x scale must not require the caller to have
+    remembered a guard. Pass ``max_degree=None`` to opt out explicitly
+    (exact reference semantics on graphs known to be degree-bounded).
     """
     e = sym_edges.select("src", "dst")
     if max_degree is not None:

@@ -51,6 +51,7 @@ def wcc(
     loop: IterationLoop | None = None,
     initial_labels: DataFrame | None = None,
     initial_frontier: DataFrame | None = None,
+    pre_contract: bool = False,
 ) -> DataFrame:
     """Return ``(vid: long, label: long)`` — label = min vid in component.
 
@@ -83,7 +84,32 @@ def wcc(
     collapses local chains before any shuffle round. ``True`` /
     ``False`` pin the behavior. Converged labels are identical in all
     modes (hash-min is monotone); only the round count differs.
+
+    ``pre_contract=True`` seeds the labels from
+    :func:`local_contract`'s per-partition union-find pass: each edge
+    partition is collapsed to a star forest in one zero-shuffle
+    ``mapInPandas`` sweep, and every vertex starts at the min vid of
+    its *local* set instead of its own vid. Intra-partition diameter is
+    gone before round 1, so the shuffle rounds only resolve
+    cross-partition merges — directly attacking the
+    rounds x scheduling-floor product that dominates wall time on
+    cold graphs. Correctness is unaffected: seeds are component
+    members ≥ the component min (min is monotone), and the component's
+    min vertex always seeds itself (its local root can only be
+    itself), so hash-min still converges to the exact same labels.
     """
+    # identity checks: `1 in (True, ...)` is True in Python (1 == True),
+    # which would defeat the point of rejecting truthy non-bools
+    if not (
+        pointer_jumping is True
+        or pointer_jumping is False
+        or pointer_jumping == "auto"
+    ):
+        # truthy non-True values (1, numpy.bool_) must not silently
+        # flip the adaptive mode off (ADVICE r2)
+        raise ValueError(
+            f"pointer_jumping must be True, False or 'auto'; got {pointer_jumping!r}"
+        )
     spark = spark or graph.edges.sparkSession
     loop = loop or IterationLoop(
         spark,
@@ -104,6 +130,23 @@ def wcc(
     if labels is None:
         if initial_labels is not None:
             labels = initial_labels.select("vid", "label")
+        elif pre_contract:
+            # one zero-shuffle union-find sweep per partition; a vertex
+            # split across partitions keeps the min of its local roots
+            # (edges are already hash-partitioned by src).
+            seed = (
+                local_contract(edges, graph.num_partitions, assume_partitioned=True)
+                .groupBy("vid")
+                .agg(F.min("root").alias("label"))
+            )
+            # vertices whose only incidence is a self-loop never reach
+            # sym_edges — keep them, labelled by their own vid
+            missing = (
+                graph.vertices()
+                .join(seed.select("vid"), on="vid", how="left_anti")
+                .select("vid", F.col("vid").alias("label"))
+            )
+            labels = seed.unionByName(missing)
         else:
             labels = graph.vertices().select(
                 F.col("vid"), F.col("vid").alias("label")
@@ -220,8 +263,14 @@ def wcc(
     return loop.finish(labels.select("vid", "label"), it)
 
 
-def local_contract(edges, num_partitions: int = 32):
+def local_contract(edges, num_partitions: int = 32, assume_partitioned: bool = False):
     """Per-partition union-find contraction: (vid, root) mapping.
+
+    ``assume_partitioned=True`` skips the hash-repartition when the
+    caller's edges are already partitioned (e.g. ``Graph.sym_edges()``)
+    — the sweep then runs with ZERO shuffles. Any partitioning is
+    correct (the mapping is a conservative refinement); partitioning by
+    src just maximizes how much collapses locally.
 
     Each task runs an array-based union-find over its partition's edge
     block (Arrow batch via ``mapPartitions``-style ``mapInPandas``) —
@@ -268,11 +317,9 @@ def local_contract(edges, num_partitions: int = 32):
     # keep EVERY (vid, root) pair: a vertex seen in several partitions
     # links its per-partition roots together — collapsing to one root
     # here would disconnect components that only meet through it.
-    return (
-        edges.repartition(num_partitions, "src")
-        .mapInPandas(run, schema=schema)
-        .distinct()
-    )
+    if not assume_partitioned:
+        edges = edges.repartition(num_partitions, "src")
+    return edges.mapInPandas(run, schema=schema).distinct()
 
 
 def wcc_two_phase(graph: Graph, spark: SparkSession | None = None, **kwargs) -> DataFrame:

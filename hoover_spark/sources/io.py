@@ -40,13 +40,17 @@ _ICEBERG_HELP = (
     "configuration, or use fmt='parquet'/'auto'"
 )
 
-_probe_cache: dict[int, bool] = {}
+_probe_cache: dict[str, bool] = {}
 
 
 def iceberg_available(spark: SparkSession) -> bool:
     """True iff ``org.apache.iceberg.spark.SparkCatalog`` is loadable in
-    this session's JVM (i.e. an iceberg-spark-runtime jar is packaged)."""
-    key = id(spark)
+    this session's JVM (i.e. an iceberg-spark-runtime jar is packaged).
+
+    Cached per Spark application id — stable for the JVM's lifetime,
+    unlike ``id(spark)``, which a later session can reuse after the
+    first is stopped (ADVICE r2)."""
+    key = spark.sparkContext.applicationId
     if key not in _probe_cache:
         try:
             jvm = spark.sparkContext._jvm  # noqa: SLF001 - classpath probe
@@ -87,8 +91,15 @@ def read_table(spark: SparkSession, location: str, fmt: str = "auto") -> DataFra
     if iceberg_available(spark):
         try:
             return spark.read.format("iceberg").load(location)
-        except Exception:
-            pass  # path without Iceberg metadata -> parquet
+        except Exception as iceberg_err:
+            # path without Iceberg metadata -> parquet; but if the
+            # parquet fallback ALSO fails, surface the suppressed
+            # Iceberg failure (corrupt metadata / permissions) instead
+            # of an unrelated parquet error (ADVICE r2)
+            try:
+                return spark.read.parquet(location)
+            except Exception as parquet_err:
+                raise parquet_err from iceberg_err
     return spark.read.parquet(location)
 
 
@@ -101,6 +112,14 @@ def write_table(
         raise RuntimeError(_ICEBERG_HELP)
     use_iceberg = fmt == "iceberg" or (fmt == "auto" and iceberg_available(spark))
     if _looks_like_table_name(location):
+        # the writeTo (DataFrameWriterV2) branch only has create-or-
+        # replace and append verbs; 'error'/'ignore' must not silently
+        # become appends (ADVICE r2)
+        if mode not in ("overwrite", "append"):
+            raise ValueError(
+                f"mode {mode!r} unsupported for catalog table writes "
+                "(use 'overwrite' or 'append')"
+            )
         writer = df.writeTo(location)
         if use_iceberg:
             writer = writer.using("iceberg")

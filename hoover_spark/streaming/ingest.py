@@ -20,6 +20,16 @@ Idempotency: edges are deduped against the store per batch, so replayed
 / duplicate micro-batches are no-ops (reference analogue:
 ``update_edge_info`` no-ops on unchanged edges, ``src/hoover.cpp:485``)
 — required because foreachBatch is at-least-once on failure recovery.
+
+Scale: the durable store is hive-partitioned by
+``bucket = pmod(xxhash64(src, dst), n_buckets)`` and the per-batch
+dedup anti-join reads ONLY the bucket directories the micro-batch's own
+edges hash into — per-batch cost is O(|batch| / n_buckets · |E|), not
+O(|E|). A 16-edge reference-style micro-batch against a 100 TB store
+touches ≤16 of the buckets instead of rescanning everything (the
+round-2 version anti-joined the full store every batch — the per-batch
+wall grew linearly with accumulated history). With Iceberg packaged the
+same seam becomes a ``MERGE INTO`` on the bucket-partitioned table.
 """
 
 from __future__ import annotations
@@ -46,6 +56,7 @@ class IncrementalGraphState:
         kernel: str = "wcc",
         num_partitions: int = 32,
         kernel_kwargs: dict | None = None,
+        n_buckets: int = 64,
     ) -> None:
         assert kernel in ("wcc", "pagerank")
         self.spark = spark
@@ -53,20 +64,50 @@ class IncrementalGraphState:
         self.kernel = kernel
         self.num_partitions = num_partitions
         self.kernel_kwargs = kernel_kwargs or {}
+        self.n_buckets = n_buckets
         self.edges_dir = os.path.join(work_dir, "edges")
         self.state_dir = os.path.join(work_dir, "state")
         self.metrics_path = os.path.join(work_dir, "batch_metrics.jsonl")
         os.makedirs(work_dir, exist_ok=True)
         self._state: DataFrame | None = self._load_state()
         self.batches_applied = 0
+        #: pruning evidence for the last batch's dedup anti-join
+        self.last_scan: dict | None = None
 
     # -- durable pieces ----------------------------------------------------
+    def _bucket_expr(self) -> F.Column:
+        return F.pmod(F.xxhash64("src", "dst"), F.lit(self.n_buckets))
+
+    def _bucket_dirs(self) -> list[str]:
+        if not os.path.isdir(self.edges_dir):
+            return []
+        return sorted(
+            n for n in os.listdir(self.edges_dir) if n.startswith("bucket=")
+        )
+
     def _edges(self) -> DataFrame | None:
-        if not os.path.isdir(self.edges_dir) or not any(
-            n.endswith(".parquet") for n in os.listdir(self.edges_dir)
-        ):
+        """Full durable edge store (all buckets) as (src, dst)."""
+        if not self._bucket_dirs():
             return None
-        return self.spark.read.parquet(self.edges_dir)
+        return self.spark.read.parquet(self.edges_dir).select("src", "dst")
+
+    def _store_slice(self, buckets: list[int]) -> DataFrame | None:
+        """The store restricted to the given buckets — reads only those
+        bucket directories (explicit path-level partition pruning, no
+        reliance on planner behavior; testable via ``last_scan``)."""
+        paths = [
+            p
+            for b in buckets
+            if os.path.isdir(p := os.path.join(self.edges_dir, f"bucket={b}"))
+        ]
+        self.last_scan = {
+            "buckets_in_batch": len(buckets),
+            "bucket_dirs_scanned": len(paths),
+            "bucket_dirs_total": len(self._bucket_dirs()),
+        }
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths).select("src", "dst")
 
     def _load_state(self) -> DataFrame | None:
         if os.path.isdir(self.state_dir) and os.path.exists(
@@ -101,7 +142,14 @@ class IncrementalGraphState:
             .dropDuplicates(["src", "dst"])
         )
 
-        existing = self._edges()
+        # dedup against ONLY the bucket slices this batch hashes into —
+        # a micro-batch of b edges scans ≤ b of the n_buckets
+        # directories however large the accumulated store has grown
+        batch = batch.withColumn("bucket", self._bucket_expr())
+        batch_buckets = [
+            r["bucket"] for r in batch.select("bucket").distinct().collect()
+        ]
+        existing = self._store_slice(batch_buckets)
         if existing is not None:
             fresh = batch.join(existing, on=["src", "dst"], how="left_anti")
         else:
@@ -113,8 +161,9 @@ class IncrementalGraphState:
         fresh = fresh.localCheckpoint(eager=True)
         n_fresh = fresh.count()
         if n_fresh > 0:
-            fresh.write.mode("append").parquet(self.edges_dir)
-        all_edges = self.spark.read.parquet(self.edges_dir)
+            fresh.write.partitionBy("bucket").mode("append").parquet(self.edges_dir)
+        fresh = fresh.select("src", "dst")
+        all_edges = self._edges()
         graph = Graph(all_edges, num_partitions=self.num_partitions)
 
         if n_fresh == 0 and self._state is not None:
@@ -174,6 +223,7 @@ class IncrementalGraphState:
                         "new_edges": int(n_new),
                         "reconverge_iters": int(iters),
                         "wall_s": round(secs, 4),
+                        "dedup_scan": self.last_scan,
                     }
                 )
                 + "\n"
@@ -191,6 +241,7 @@ def run_stream(
     num_partitions: int = 32,
     max_files_per_trigger: int = 1,
     kernel_kwargs: dict | None = None,
+    n_buckets: int = 64,
 ) -> IncrementalGraphState:
     """Consume all pending edge-drop parquet files as micro-batches
     (``Trigger.AvailableNow`` semantics) and return the converged state.
@@ -200,7 +251,7 @@ def run_stream(
     """
     state = IncrementalGraphState(
         spark, work_dir, kernel=kernel, num_partitions=num_partitions,
-        kernel_kwargs=kernel_kwargs,
+        kernel_kwargs=kernel_kwargs, n_buckets=n_buckets,
     )
     stream = (
         spark.readStream.schema(EDGE_SCHEMA)

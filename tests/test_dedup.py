@@ -168,3 +168,29 @@ def test_dup_clusters_via_wcc(spark, docs_df):
     res = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs, ids).collect()}
     assert res[0] == res[1] == res[2] == 0
     assert res[3] == 3 and res[4] == 4 and res[5] == 5
+
+
+def test_ngram_jaccard_short_doc_heavy_corpus(spark):
+    """Corpus where sub-n-token docs OUTNUMBER long ones (the 100 TB
+    shape: billions of short strings). The zero-gram side must be
+    pruned to candidate-pair ids — never broadcast wholesale — and the
+    scored values must match brute force."""
+    short = [(i, f"tok{i % 7} x") for i in range(200)]          # 2 tokens < n=3
+    longd = [(1000 + i, f"alpha beta gamma delta {i}") for i in range(20)]
+    df = spark.createDataFrame(short + longd, schema="doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 7), (0, 1), (3, 10), (1000, 1001), (5, 1000)],
+        schema="id_a long, id_b long",
+    )
+    res = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard(df, pairs, "doc_id", "text").collect()
+    }
+    d = dict(short + longd)
+    assert res[(0, 7)] == 1.0          # identical short docs
+    assert res[(0, 1)] == 0.0          # different short docs
+    assert res[(3, 10)] == 1.0         # identical short docs (mod-7 twins)
+    assert res[(1000, 1001)] == pytest.approx(
+        py_jaccard(d[1000], d[1001]), abs=1e-12
+    )
+    assert res[(5, 1000)] == 0.0       # short vs long: no shared grams

@@ -106,3 +106,44 @@ def test_frequent_and_anomalies(spark):
         assert a["matrix"] not in freq_matrices
         assert 1 <= a["dist"] <= 2
         assert a["nearest_frequent"] in freq_matrices
+
+
+def test_default_degree_cap_bounds_hot_vertex(spark):
+    """One hot vertex (star center, degree 200) must not blow up the
+    ≤4-vertex state walk: the default-on cap excludes it and the walk
+    stays polynomial; the spokes (now isolated) still enumerate as
+    1-vertex states. Opting out (max_degree=None) must reproduce the
+    exact uncapped reference mirror."""
+    n = 201
+    pairs = [(0, i) for i in range(1, n)]
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], schema="src long, dst long"
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    verts = spark.range(n).select(F.col("id").alias("vid"))
+
+    capped = {r["matrix"]: r["count"] for r in pattern_counts(sym, verts).collect()}
+    # with the center dropped, every vertex is an isolated 1-vertex
+    # state: exactly one pattern (empty matrix), n occurrences
+    assert capped == {0: n}
+
+    # a star small enough to pass the cap matches the uncapped walk
+    small_pairs = [(0, i) for i in range(1, 6)]
+    small_edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in small_pairs], schema="src long, dst long"
+    )
+    small_sym = small_edges.unionByName(
+        small_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    small_verts = spark.range(6).select(F.col("id").alias("vid"))
+    got_capped = {
+        r["matrix"]: r["count"]
+        for r in pattern_counts(small_sym, small_verts).collect()
+    }
+    got_uncapped = {
+        r["matrix"]: r["count"]
+        for r in pattern_counts(small_sym, small_verts, max_degree=None).collect()
+    }
+    assert got_capped == got_uncapped == dict(py_explore(_adj(small_pairs, 6)))

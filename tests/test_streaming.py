@@ -124,3 +124,40 @@ def test_stream_resume_after_restart(spark, tmp_path):
     got = {r["vid"]: r["label"] for r in state.state().collect()}
     want = {r["vid"]: r["label"] for r in wcc(g).collect()}
     assert got == want
+
+
+def test_dedup_antijoin_is_bucket_pruned(spark, tmp_path):
+    """The per-batch dedup anti-join must scan only the bucket
+    directories the micro-batch's own edges hash into — NOT the whole
+    accumulated store (reference analogue test/update_rates.cpp:30-55:
+    16-edge micro-batches against an ever-growing edge store)."""
+    from pyspark.sql import functions as F
+
+    from hoover_spark.streaming.ingest import IncrementalGraphState
+
+    state = IncrementalGraphState(
+        spark, str(tmp_path / "work"), kernel="wcc", num_partitions=8,
+        n_buckets=32,
+    )
+    # seed batch: spread the store across (almost) all buckets
+    big = rmat_graph(spark, scale=8, edge_factor=4).cleaned()
+    state.apply_batch(big, 0)
+    assert state.last_scan["bucket_dirs_total"] == 0  # store was empty
+
+    # tiny micro-batch: 4 edges -> at most 4 bucket dirs scanned
+    small = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (900001, 900002)], schema="src long, dst long"
+    )
+    state.apply_batch(small, 1)
+    scan = state.last_scan
+    assert scan["bucket_dirs_total"] >= 16          # store is spread out
+    assert scan["bucket_dirs_scanned"] <= 4         # pruned to the batch
+    assert scan["bucket_dirs_scanned"] < scan["bucket_dirs_total"]
+
+    # ...and pruned dedup is still exact: re-delivering an already-
+    # stored edge adds nothing
+    n_before = spark.read.parquet(str(tmp_path / "work" / "edges")).count()
+    dup = big.limit(3).select("src", "dst")
+    state.apply_batch(dup, 2)
+    n_after = spark.read.parquet(str(tmp_path / "work" / "edges")).count()
+    assert n_after == n_before

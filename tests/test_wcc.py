@@ -137,3 +137,25 @@ def test_adaptive_pointer_jumping_matches_pinned_modes(spark):
         want = labels_of(wcc(g_fn(), pointer_jumping=True))
         assert labels_of(wcc(g_fn(), pointer_jumping="auto")) == want
         assert labels_of(wcc(g_fn(), pointer_jumping=False)) == want
+
+
+def test_pointer_jumping_rejects_truthy_nonbool(spark):
+    """1 / numpy truthy values must raise, not silently disable the
+    adaptive jump (ADVICE r2)."""
+    g = path_graph(spark, 8)
+    with pytest.raises(ValueError, match="pointer_jumping"):
+        wcc(g, pointer_jumping=1)
+
+
+def test_pre_contract_seeding_matches_plain(spark):
+    """Seeding hash-min from the per-partition union-find star forest
+    must converge to the identical labels (and in no more rounds)."""
+    from hoover_spark.plans.iteration import IterationLoop
+
+    for g in (path_graph(spark, 64), rmat_graph(spark, scale=8, edge_factor=4)):
+        plain_loop = IterationLoop(g.edges.sparkSession, kernel="wcc")
+        seeded_loop = IterationLoop(g.edges.sparkSession, kernel="wcc")
+        plain = labels_of(wcc(g, loop=plain_loop))
+        seeded = labels_of(wcc(g, loop=seeded_loop, pre_contract=True))
+        assert seeded == plain
+        assert len(seeded_loop.metrics) <= len(plain_loop.metrics)
