@@ -752,6 +752,153 @@ i{t} AS (
     return "WITH " + ",".join(ctes) + " " + selects
 
 
+# ---------------------------------------------------------------------------
+# pas: patch/agent SEIR over two coupled logical graphs (test/pas.cpp)
+# ---------------------------------------------------------------------------
+
+PAS_STEPS = 5
+PAS_GRID = 8
+PAS_SUBSTEPS = 2
+
+
+def _pas_agents0(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return cust.select(
+        k.alias("agent_id"),
+        F.pmod(k * 13 + 5, F.lit(PAS_GRID * PAS_GRID)).alias("home_patch"),
+        F.pmod(k, F.lit(4)).alias("act"),
+        # ~2% initially infectious (pas.cpp:44, :247-249)
+        F.when(F.pmod(k, F.lit(50)) == 0, F.lit(2.0)).otherwise(F.lit(0.0)).alias("health"),
+    )
+
+
+_PAS_AGENTS0_SQL = (
+    f"SELECT c_custkey AS agent_id, (c_custkey*13+5) % {PAS_GRID * PAS_GRID} AS home_patch, "
+    "c_custkey % 4 AS act, "
+    "CASE WHEN c_custkey % 50 = 0 THEN 2.0E0 ELSE 0.0E0 END AS health "
+    "FROM customer"
+)
+
+
+def q_pas_agents(spark, sf_dir):
+    """AGENT_GRAPH trace of the coupled patch/agent SEIR model
+    (reference test/pas.cpp — the only multi-graph application):
+    per-(agent, t) health / patch / activity / stay."""
+    from hoover_spark.operators.pas import pas_simulate
+
+    a, _ = pas_simulate(
+        _pas_agents0(spark, sf_dir), PAS_STEPS, PAS_GRID, PAS_SUBSTEPS, spark=spark
+    )
+    return a.select(
+        F.col("agent_id").cast("long").alias("agent_id"),
+        F.col("t").cast("long").alias("t"),
+        F.col("patch").cast("long").alias("patch"),
+        F.col("act").cast("long").alias("act"),
+        F.round("stay", 6).alias("stay"),
+        F.round("health", 6).alias("health"),
+    )
+
+
+def q_pas_patches(spark, sf_dir):
+    """PATCH_GRAPH trace: the per-patch mosquito-population ODE
+    (RK4, reference update_patch pas.cpp:452-491) driven by the agent
+    census — the cross-graph coupling direction agents→patches."""
+    from hoover_spark.operators.pas import pas_simulate
+
+    _, p = pas_simulate(
+        _pas_agents0(spark, sf_dir), PAS_STEPS, PAS_GRID, PAS_SUBSTEPS, spark=spark
+    )
+    return p.select(
+        F.col("patch_id").cast("long").alias("patch_id"),
+        F.col("t").cast("long").alias("t"),
+        F.round("sv", 6).alias("sv"),
+        F.round("ev", 6).alias("ev"),
+        F.round("iv", 6).alias("iv"),
+        F.round("nv", 6).alias("nv"),
+        F.round("lh", 6).alias("lh"),
+    )
+
+
+def _pas_sql(output: str) -> str:
+    from hoover_spark.operators.pas import duckdb_oracle_sql
+
+    inner = duckdb_oracle_sql(
+        _PAS_AGENTS0_SQL, PAS_STEPS, PAS_GRID, PAS_SUBSTEPS, output=output
+    )
+    if output == "agents":
+        return (
+            "SELECT CAST(agent_id AS BIGINT) AS agent_id, CAST(t AS BIGINT) AS t, "
+            "CAST(patch AS BIGINT) AS patch, CAST(act AS BIGINT) AS act, "
+            "round(stay, 6) AS stay, round(health, 6) AS health "
+            f"FROM ({inner})"
+        )
+    return (
+        "SELECT CAST(patch_id AS BIGINT) AS patch_id, CAST(t AS BIGINT) AS t, "
+        "round(sv, 6) AS sv, round(ev, 6) AS ev, round(iv, 6) AS iv, "
+        "round(nv, 6) AS nv, round(lh, 6) AS lh "
+        f"FROM ({inner})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# nbody: time-unrolled n-body with velocity (test/simple_nbody_test.c)
+# ---------------------------------------------------------------------------
+
+NBODY_STEPS = 8
+
+
+def _nbody_particles0(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    return sup.select(
+        k.alias("pid"),
+        (F.pmod(k * 37 + 11, F.lit(9973)) / F.lit(9973.0) * F.lit(100.0)).alias("x"),
+        (F.pmod(k * 53 + 29, F.lit(9973)) / F.lit(9973.0) * F.lit(100.0)).alias("y"),
+    )
+
+
+_NBODY_P0_SQL = (
+    "SELECT s_suppkey AS pid, "
+    "((s_suppkey*37+11) % 9973) / 9973.0E0 * 100.0E0 AS x, "
+    "((s_suppkey*53+29) % 9973) / 9973.0E0 * 100.0E0 AS y "
+    "FROM supplier"
+)
+
+
+def q_nbody_trace(spark, sf_dir):
+    """Time-unrolled n-body trajectory trace (reference
+    test/simple_nbody_test.c): per-(particle, t) position + velocity,
+    forces summed in deterministic neighbor-id order."""
+    from hoover_spark.operators.nbody import nbody_simulate
+
+    tr = nbody_simulate(_nbody_particles0(spark, sf_dir), NBODY_STEPS, spark=spark)
+    # `+ 0.0` normalizes IEEE negative zero: DuckDB's round(-1e-9, 6)
+    # yields -0.0 while Spark's BigDecimal rounding yields +0.0 — the
+    # typed hash would differ on a value equality
+    return tr.select(
+        F.col("pid").cast("long").alias("pid"),
+        F.col("t").cast("long").alias("t"),
+        (F.round("x", 6) + F.lit(0.0)).alias("x"),
+        (F.round("y", 6) + F.lit(0.0)).alias("y"),
+        (F.round("vx", 6) + F.lit(0.0)).alias("vx"),
+        (F.round("vy", 6) + F.lit(0.0)).alias("vy"),
+    )
+
+
+def _nbody_sql() -> str:
+    from hoover_spark.operators.nbody import duckdb_oracle_sql
+
+    inner = duckdb_oracle_sql(_NBODY_P0_SQL, NBODY_STEPS)
+    # + 0.0E0: negative-zero normalization (see q_nbody_trace)
+    return (
+        "SELECT CAST(pid AS BIGINT) AS pid, CAST(t AS BIGINT) AS t, "
+        "round(x, 6) + 0.0E0 AS x, round(y, 6) + 0.0E0 AS y, "
+        "round(vx, 6) + 0.0E0 AS vx, round(vy, 6) + 0.0E0 AS vy "
+        f"FROM ({inner})"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the full engine slice —
     WCC component labels of the customer-key graph (edge derivation →
@@ -802,6 +949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gbad_patterns": q_gbad_patterns,
         "gbad_anomalies": q_gbad_anomalies,
         "sir_trace": q_sir_trace,
+        "pas_agents": q_pas_agents,
+        "pas_patches": q_pas_patches,
+        "nbody_trace": q_nbody_trace,
     }
 
 
@@ -1468,6 +1618,9 @@ FROM flags fl JOIN freq f ON f.rank = fl.best_rank
 WHERE fl.is_freq = 0 AND fl.best_rank IS NOT NULL
 """,
         "sir_trace": _sir_sql(),
+        "pas_agents": _pas_sql("agents"),
+        "pas_patches": _pas_sql("patches"),
+        "nbody_trace": _nbody_sql(),
         "sessionize": """
 WITH o AS (
   SELECT user_id,

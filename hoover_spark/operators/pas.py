@@ -207,16 +207,18 @@ def _apply_exprs(df: DataFrame, exprs: list[tuple[str, str]]) -> DataFrame:
 # the Spark simulation
 # ---------------------------------------------------------------------------
 
-_CENSUS_AGGS = [
-    F.expr(f"SUM(CASE WHEN act = {a} THEN 1 ELSE 0 END)").alias(f"n{a}")
-    for a in range(4)
-] + [
-    F.expr(
-        f"SUM(CASE WHEN act = {a} AND health > 1.5E0 AND health < 2.5E0 "
-        "THEN 1 ELSE 0 END)"
-    ).alias(f"i{a}")
-    for a in range(4)
-]
+def _census_aggs():
+    # built lazily: F.expr needs an active SparkContext at call time
+    return [
+        F.expr(f"SUM(CASE WHEN act = {a} THEN 1 ELSE 0 END)").alias(f"n{a}")
+        for a in range(4)
+    ] + [
+        F.expr(
+            f"SUM(CASE WHEN act = {a} AND health > 1.5E0 AND health < 2.5E0 "
+            "THEN 1 ELSE 0 END)"
+        ).alias(f"i{a}")
+        for a in range(4)
+    ]
 
 _PATCH_COLS = ["patch_id", "sv", "ev", "iv", "nv", "lh"]
 _AGENT_COLS = ["agent_id", "home_patch", "patch", "act", "stay", "health"]
@@ -265,7 +267,7 @@ def pas_simulate(
     for t in range(1, n_steps):
         # -- patch update: census of the AGENT graph at t-1 (the
         #    agent→patch DIRECTED_IN edges), then the mosquito ODE
-        census = agents.groupBy(F.col("patch").alias("patch_id")).agg(*_CENSUS_AGGS)
+        census = agents.groupBy(F.col("patch").alias("patch_id")).agg(*_census_aggs())
         pin = _apply_exprs(
             patches.drop("lh").join(census, on="patch_id", how="left"), NHH_EXPRS
         )

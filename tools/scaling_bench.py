@@ -31,7 +31,12 @@ in, not about job-scheduling overhead at toy sizes):
   files (CPU-bound scan)
 - pagerank3:    3 PageRank iterations on RMAT scale-22 (~33M edges)
 - wcc5:         5 hash-min+jump iterations on the same graph
-- minhash:      MinHash signatures over documents x160 (800k docs)
+- wcc5_24:      the same on RMAT scale-24 (~134M edges) — 4x the
+                per-core work grain, showing the kernels' efficiency
+                trend as work thickens (round-3 addition)
+- minhash:      MinHash signatures x48 hashes over documents x640
+                (3.2M docs; round-2's x160/12-hash sizing ran
+                sub-second at local[32] — noise-limited, ADVICE r2)
 - sha_verify:   sha256 content invariant over the same 8M files (the
                 north rule per-row check; compute-bound)
 
@@ -67,17 +72,24 @@ if not (done("rmat_clean") and done("rmat_sym")):
     g = Graph(rg.edges, num_partitions=128)
     g.clean_edges().write.mode("overwrite").parquet(base + "/rmat_clean")
     g.sym_edges().write.mode("overwrite").parquet(base + "/rmat_sym")
+if not done("rmat24_sym"):
+    rg = rmat_graph(spark, scale=24, edge_factor=8)
+    g = Graph(rg.edges, num_partitions=256)
+    g.sym_edges().write.mode("overwrite").parquet(base + "/rmat24_sym")
 if not done("repos"):
     repos_table(spark, 8_000_000, num_partitions=128).write.mode("overwrite").parquet(base + "/repos")
-if not done("docs100"):
+if not done("docs640"):
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     # replicate with a per-copy prefix so copies are NOT near-dups of
-    # each other — signature work scales linearly, LSH buckets stay small
-    docs.crossJoin(spark.range(160).select(F.col("id").alias("rep"))).select(
-        (F.col("doc_id") * 160 + F.col("rep")).alias("doc_id"),
+    # each other — signature work scales linearly, LSH buckets stay small.
+    # 640 copies (3.2M docs): round-2's 160-copy workload finished in
+    # sub-second walls at local[32], inside the fixed per-job driver
+    # latency — the efficiency signal was noise-limited (ADVICE r2).
+    docs.crossJoin(spark.range(640).select(F.col("id").alias("rep"))).select(
+        (F.col("doc_id") * 640 + F.col("rep")).alias("doc_id"),
         F.concat(F.lit("v"), F.col("rep").cast("string"), F.lit("x "),
                  F.col("text")).alias("text"),
-    ).repartition(128).write.mode("overwrite").parquet(base + "/docs100")
+    ).repartition(128).write.mode("overwrite").parquet(base + "/docs640")
 print("PREP_OK", flush=True)
 """
 
@@ -123,8 +135,21 @@ out["pagerank3"] = {"wall": timed2(lambda: pagerank(g, n_iterations=3).count(), 
 out["wcc5"] = {"wall": timed2(lambda: wcc(g, max_iterations=5).count(), n_warm=2, n_timed=3), "work": 5 * ns}
 g.unpersist()
 
-docs = spark.read.parquet(base + "/docs100").persist(); nd = docs.count()
-out["minhash"] = {"wall": timed2(lambda: minhash_signatures(docs, "doc_id", "text").count()), "work": nd}
+# RMAT scale-24 (~134M directed / 268M sym edges): 4x the per-core work
+# of scale-22 — evidence for the efficiency-vs-work-grain trend (the
+# scale-22 kernels sit on the shared-DRAM wall at thin per-core work)
+sym24 = spark.read.parquet(base + "/rmat24_sym")
+g24 = Graph(sym24, num_partitions=4 * cores)
+g24._cache["sym_part"] = sym24.repartition(4 * cores, "src").persist()
+ns24 = g24.sym_edges().count()
+out["wcc5_24"] = {"wall": timed2(lambda: wcc(g24, max_iterations=5).count(), n_warm=2, n_timed=2), "work": 5 * ns24}
+g24.unpersist()
+
+# 640-copy corpus + 48 hashes: round-2's 160-copy/12-hash variant ran
+# sub-second at local[32] — inside driver latency, noise-limited
+# (ADVICE r2); this sizing puts walls well past 10 s
+docs = spark.read.parquet(base + "/docs640").persist(); nd = docs.count()
+out["minhash"] = {"wall": timed2(lambda: minhash_signatures(docs, "doc_id", "text", n_hashes=48).count()), "work": nd}
 
 print("RESULT " + json.dumps(out), flush=True)
 """
@@ -170,7 +195,7 @@ def main():
             print(f"  -> { {k: v['wall'] for k, v in results[cores][-1].items()} }", flush=True)
 
     summary = {}
-    for wl in ("edge_extract", "sha_verify", "pagerank3", "wcc5", "minhash"):
+    for wl in ("edge_extract", "sha_verify", "pagerank3", "wcc5", "wcc5_24", "minhash"):
         best = {}
         for cores in (8, 32):
             walls = [rr[wl]["wall"] for rr in results[cores]]
