@@ -168,6 +168,11 @@ def wcc(
     adaptive_jump = pointer_jumping == "auto"
     # auto: flood phase runs without the jump; the tail (small frontier)
     # enables it. Pinned True/False skip the adaptation entirely.
+    # (A start-on/retire-at-zero-gain mode was measured and rejected:
+    # with pre_contract seeding the jump's gain is structurally 0 in
+    # round 1 — local chains are already collapsed — so it retires
+    # immediately and degenerates to no-jump, 19 vs pinned's 14 rounds
+    # on the sf0.1 repo graph.)
     jump_enabled = pointer_jumping is True
     jump_retired = False  # once auto disables an enabled jump, stay off
     n_vertices = None
