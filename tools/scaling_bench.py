@@ -43,6 +43,9 @@ in, not about job-scheduling overhead at toy sizes):
 Writes bench_scaling.json; BENCH.md summarizes.
 
 Usage: python tools/scaling_bench.py [reps]
+       python tools/scaling_bench.py summarize   # rebuild the summary
+       from the per-JVM checkpoint (bench_scaling_raw.json) of a run
+       that was killed mid-way
 """
 
 from __future__ import annotations
@@ -181,21 +184,13 @@ def run(script: str, cores: int, tag: str, pin: bool = True) -> dict | None:
     raise RuntimeError(f"{tag} cores={cores} failed:\n{p.stdout[-1500:]}\n{p.stderr[-1500:]}")
 
 
-def main():
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    os.makedirs("/dev/shm/spark-local", exist_ok=True)
-    print("preparing inputs ...", flush=True)
-    run(PREP, 32, "prep")
+WORKLOADS = ("edge_extract", "sha_verify", "pagerank3", "wcc5", "wcc5_24", "minhash")
+RAW_PATH = "bench_scaling_raw.json"
 
-    results: dict[int, list[dict]] = {8: [], 32: []}
-    for r in range(reps):
-        for cores in (8, 32):
-            print(f"rep {r} cores {cores} ...", flush=True)
-            results[cores].append(run(WORKER, cores, "worker"))
-            print(f"  -> { {k: v['wall'] for k, v in results[cores][-1].items()} }", flush=True)
 
+def summarize(results: dict[int, list[dict]]) -> dict:
     summary = {}
-    for wl in ("edge_extract", "sha_verify", "pagerank3", "wcc5", "wcc5_24", "minhash"):
+    for wl in WORKLOADS:
         best = {}
         for cores in (8, 32):
             walls = [rr[wl]["wall"] for rr in results[cores]]
@@ -209,6 +204,36 @@ def main():
             "speedup_8_to_32": round(speedup, 2),
             "efficiency": round(speedup / 4.0, 2),
         }
+    return summary
+
+
+def main():
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
+
+    results: dict[int, list[dict]] = {8: [], 32: []}
+    if len(sys.argv) > 1 and sys.argv[1] == "summarize":
+        # recompute bench_scaling.json from a checkpointed partial run
+        with open(RAW_PATH) as f:
+            raw = json.load(f)
+        results = {int(k): v for k, v in raw.items()}
+    else:
+        reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+        print("preparing inputs ...", flush=True)
+        run(PREP, 32, "prep")
+        for r in range(reps):
+            for cores in (8, 32):
+                print(f"rep {r} cores {cores} ...", flush=True)
+                results[cores].append(run(WORKER, cores, "worker"))
+                print(f"  -> { {k: v['wall'] for k, v in results[cores][-1].items()} }", flush=True)
+                # checkpoint after every JVM: a killed run still yields
+                # medians over the completed interleaved reps
+                with open(RAW_PATH, "w") as f:
+                    json.dump(results, f, indent=2)
+                if results[8] and results[32]:
+                    with open("bench_scaling.json", "w") as f:
+                        json.dump(summarize(results), f, indent=2)
+
+    summary = summarize(results)
     with open("bench_scaling.json", "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
