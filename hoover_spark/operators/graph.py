@@ -142,13 +142,27 @@ class Graph:
             )
         return self._cache["sym_part"]
 
+    # -- composite views ------------------------------------------------
+    # Iterative kernels join edges against a (small) frontier every
+    # round. Exposing the edge set as a LIST of views lets a composite
+    # graph (persisted base + tiny delta, see :class:`DeltaGraph`) keep
+    # the base's known hash-partitioning in each per-view join — a
+    # union view would erase outputPartitioning and re-shuffle the full
+    # edge side every round. Kernels union the (frontier-bounded,
+    # small) JOIN OUTPUTS instead.
+    def sym_edge_views(self) -> list[DataFrame]:
+        return [self.sym_edges()]
+
+    def clean_edge_views(self) -> list[DataFrame]:
+        return [self.clean_edges()]
+
     def persist(self) -> "Graph":
         self.edges = self.edges.persist()
         return self
 
     def unpersist(self) -> None:
         """Release every cached/persisted derived view."""
-        for key in ("clean_part", "sym_part"):
+        for key in ("clean_part", "sym_part", "vertices"):
             df = self._cache.pop(key, None)
             if df is not None:
                 try:
@@ -204,6 +218,79 @@ class Graph:
             )
 
         return e.groupBy("part").applyInPandas(build, schema=schema)
+
+
+class DeltaGraph(Graph):
+    """A long-lived persisted ``base`` Graph plus a small edge delta.
+
+    Construction and every derived view cost O(|delta|) on top of the
+    base's already-persisted hash-partitioned views — the streaming
+    ingest path builds one of these per micro-batch instead of
+    re-scanning + re-shuffling the full durable store (the r3
+    scale-killer: a 16-edge micro-batch paying one O(|E|) pass to
+    re-materialize the symmetric view). Reference analogue:
+    ``update_edge_info`` touches only the mutated adjacency rows
+    (``src/hoover.cpp:450-600``) while the store persists.
+
+    ``delta``     — fresh DIRECTED edges, already deduped against the
+                    base's directed store (disjoint by construction).
+    ``delta_sym`` — the symmetric closure of ``delta`` MINUS pairs
+                    already present in the base's symmetric view, so
+                    ``base.sym_edges() ∪ delta_sym`` is exactly the
+                    deduped symmetric view of ``base.edges ∪ delta``.
+
+    Both deltas should be ``localCheckpoint``-ed by the caller (they
+    are scanned once per kernel round).
+    """
+
+    def __init__(self, base: Graph, delta: DataFrame, delta_sym: DataFrame) -> None:
+        super().__init__(
+            edges=base.edges.unionByName(delta.select("src", "dst")),
+            num_partitions=base.num_partitions,
+        )
+        self.base = base
+        self.delta = delta.select("src", "dst")
+        self.delta_sym = delta_sym.select("src", "dst")
+
+    def sym_edge_views(self) -> list[DataFrame]:
+        return [self.base.sym_edges(), self.delta_sym]
+
+    def clean_edge_views(self) -> list[DataFrame]:
+        return [self.base.clean_edges(), self.delta]
+
+    def cleaned(self) -> DataFrame:
+        # delta is pre-deduped against the base store: plain union
+        return self.base.clean_edges().unionByName(self.delta)
+
+    def clean_edges(self) -> DataFrame:
+        return self.cleaned()
+
+    def symmetric(self) -> DataFrame:
+        return self.base.sym_edges().unionByName(self.delta_sym)
+
+    def sym_edges(self) -> DataFrame:
+        return self.symmetric()
+
+    def vertices(self) -> DataFrame:
+        if "vertices" not in self._cache:
+            dv = self.delta.select(F.col("src").alias("vid")).unionByName(
+                self.delta.select(F.col("dst").alias("vid"))
+            )
+            self._cache["vertices"] = (
+                self.base.vertices().unionByName(dv).distinct()
+            )
+        return self._cache["vertices"]
+
+    def degrees(self) -> DataFrame:
+        return self.symmetric().groupBy(F.col("src").alias("vid")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+
+    def unpersist(self) -> None:
+        """Release only this composite's own cache — the base's views
+        are long-lived by design (the whole point is not rebuilding
+        them per batch); compaction releases them explicitly."""
+        self._cache.clear()
 
 
 def graph_from_pairs(spark, pairs, num_partitions: int = 8) -> Graph:

@@ -70,14 +70,32 @@ def pagerank(
         max_iterations=n_iterations or max_iterations,
     )
 
-    edges = graph.clean_edges()
+    # Edge set as a LIST of views (usually one). A composite graph
+    # (persisted base + micro-batch delta, DeltaGraph) yields two: the
+    # per-iteration contribution join runs per view and unions the
+    # outputs, so the base keeps its persisted hash-partitioning — a
+    # union of the views themselves would erase it and re-shuffle the
+    # FULL edge side every iteration of every micro-batch.
+    edge_views = graph.clean_edge_views()
     verts = graph.vertices().persist()
     n = verts.count()
-    out_deg = (
-        edges.groupBy(F.col("src").alias("vid"))
-        .agg(F.count(F.lit(1)).alias("out_deg"))
-        .persist()
-    )
+    if len(edge_views) == 1:
+        out_deg = (
+            edge_views[0]
+            .groupBy(F.col("src").alias("vid"))
+            .agg(F.count(F.lit(1)).alias("out_deg"))
+            .persist()
+        )
+    else:
+        degs = None
+        for v in edge_views:
+            d = v.groupBy(F.col("src").alias("vid")).agg(
+                F.count(F.lit(1)).alias("_od")
+            )
+            degs = d if degs is None else degs.unionByName(d)
+        out_deg = (
+            degs.groupBy("vid").agg(F.sum("_od").alias("out_deg")).persist()
+        )
 
     start_iter = 0
     ranks = None
@@ -110,13 +128,14 @@ def pagerank(
     while it < loop.max_iterations:
         it += 1
 
-        contribs = edges.join(
-            state.where(F.col("out_deg").isNotNull()).select(
-                F.col("vid").alias("src"),
-                (F.col("rank") / F.col("out_deg")).alias("w"),
-            ),
-            on="src",
-        ).select("dst", "w")
+        wsrc = state.where(F.col("out_deg").isNotNull()).select(
+            F.col("vid").alias("src"),
+            (F.col("rank") / F.col("out_deg")).alias("w"),
+        )
+        contribs = None
+        for v in edge_views:
+            c = v.join(wsrc, on="src").select("dst", "w")
+            contribs = c if contribs is None else contribs.unionByName(c)
 
         if salt_buckets > 0:
             salted = with_salt(contribs, salt_buckets, cols=["w"])

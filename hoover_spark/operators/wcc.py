@@ -97,6 +97,17 @@ def wcc(
     members ≥ the component min (min is monotone), and the component's
     min vertex always seeds itself (its local root can only be
     itself), so hash-min still converges to the exact same labels.
+
+    ``pre_contract`` composes with warm starts (both
+    ``initial_labels`` and ``initial_frontier``): seeds become the
+    min *initial label* over each local union-find set, and every
+    vertex whose seed dropped below its pre-seed label is added to the
+    initial frontier so lowered seeds are actually broadcast (without
+    the expansion the combination was unsound — a converged loop could
+    leave stale non-minimum labels on vertices outside the caller's
+    frontier). Streaming re-convergence after a LARGE batch uses this
+    to collapse newly-ingested chains in one zero-shuffle sweep
+    instead of O(chain-length) message rounds.
     """
     # identity checks: `1 in (True, ...)` is True in Python (1 == True),
     # which would defeat the point of rejecting truthy non-bools
@@ -119,7 +130,13 @@ def wcc(
         max_iterations=max_iterations,
     )
 
-    edges = graph.sym_edges()
+    # Edge set as a LIST of views (usually one). A composite graph
+    # (persisted base + micro-batch delta, DeltaGraph) yields two: the
+    # per-round message join runs per view and unions the (small,
+    # frontier-bounded) outputs, so the base keeps its persisted
+    # hash-partitioning — a union of the views themselves would erase
+    # it and re-shuffle the full edge side every round.
+    edge_views = graph.sym_edge_views()
 
     start_iter = 0
     labels = None
@@ -128,25 +145,56 @@ def wcc(
         if loaded is not None:
             labels, start_iter = loaded
     if labels is None:
-        if initial_labels is not None:
-            labels = initial_labels.select("vid", "label")
-        elif pre_contract:
+        base0 = (
+            initial_labels.select("vid", "label")
+            if initial_labels is not None
+            else None
+        )
+        if pre_contract:
             # one zero-shuffle union-find sweep per partition; a vertex
             # split across partitions keeps the min of its local roots
             # (edges are already hash-partitioned by src).
-            seed = (
-                local_contract(edges, graph.num_partitions, assume_partitioned=True)
-                .groupBy("vid")
-                .agg(F.min("root").alias("label"))
+            mapping = local_contract(
+                edge_views[0], graph.num_partitions, assume_partitioned=True
             )
-            # vertices whose only incidence is a self-loop never reach
-            # sym_edges — keep them, labelled by their own vid
-            missing = (
-                graph.vertices()
-                .join(seed.select("vid"), on="vid", how="left_anti")
-                .select("vid", F.col("vid").alias("label"))
-            )
+            for v in edge_views[1:]:
+                mapping = mapping.unionByName(
+                    local_contract(v, graph.num_partitions, assume_partitioned=True)
+                )
+            if base0 is None:
+                seed = mapping.groupBy("vid").agg(F.min("root").alias("label"))
+                # vertices whose only incidence is a self-loop never
+                # reach sym_edges — keep them, labelled by their own vid
+                missing = (
+                    graph.vertices()
+                    .join(seed.select("vid"), on="vid", how="left_anti")
+                    .select("vid", F.col("vid").alias("label"))
+                )
+            else:
+                # label-aware contraction (warm start): every local set
+                # starts at the MIN of its members' initial labels —
+                # correct because a warm label is the min vid of the
+                # vertex's old component, hence a vertex id inside the
+                # same (possibly newly merged) component; min over a
+                # local set is therefore a component member ≥ the true
+                # min, and hash-min remains monotone-exact.
+                rl = (
+                    mapping.join(base0, on="vid", how="left")
+                    .select("root", F.coalesce("label", "vid").alias("l0"))
+                    .groupBy("root")
+                    .agg(F.min("l0").alias("rlabel"))
+                )
+                seed = (
+                    mapping.join(rl, on="root")
+                    .groupBy("vid")
+                    .agg(F.min("rlabel").alias("label"))
+                )
+                missing = base0.join(
+                    seed.select("vid"), on="vid", how="left_anti"
+                ).select("vid", "label")
             labels = seed.unionByName(missing)
+        elif base0 is not None:
+            labels = base0
         else:
             labels = graph.vertices().select(
                 F.col("vid"), F.col("vid").alias("label")
@@ -159,9 +207,27 @@ def wcc(
     # send_all_vertices_in_partition, src/hoover.cpp:1517-1533) — unless a
     # warm start narrows the dirty set to changed-adjacency vertices.
     if initial_frontier is not None and start_iter == 0:
-        frontier = labels.join(
-            initial_frontier.select("vid"), on="vid", how="left_semi"
-        )
+        front_ids = initial_frontier.select("vid")
+        if pre_contract:
+            # soundness (r3 ADVICE): contraction-lowered seeds outside
+            # the caller's frontier carry information only frontier
+            # members broadcast — every vertex whose seed label dropped
+            # below its pre-seed label joins the initial frontier.
+            if initial_labels is not None:
+                lowered = (
+                    labels.join(
+                        initial_labels.select(
+                            "vid", F.col("label").alias("l0")
+                        ),
+                        on="vid",
+                    )
+                    .where(F.col("label") < F.col("l0"))
+                    .select("vid")
+                )
+            else:
+                lowered = labels.where(F.col("label") < F.col("vid")).select("vid")
+            front_ids = front_ids.unionByName(lowered).distinct()
+        frontier = labels.join(front_ids, on="vid", how="left_semi")
     else:
         frontier = labels
 
@@ -181,10 +247,13 @@ def wcc(
     watch = StopWatch()
     while it < loop.max_iterations:
         it += 1
-        # 1. neighbor-min over the frontier only (delta processing).
-        msgs = edges.join(
-            frontier.select(F.col("vid").alias("src"), "label"), on="src"
-        ).select(F.col("dst").alias("vid"), "label")
+        # 1. neighbor-min over the frontier only (delta processing) —
+        #    one join per edge view, small outputs unioned.
+        fsrc = frontier.select(F.col("vid").alias("src"), "label")
+        msgs = None
+        for v in edge_views:
+            m = v.join(fsrc, on="src").select(F.col("dst").alias("vid"), "label")
+            msgs = m if msgs is None else msgs.unionByName(m)
         mins = msgs.groupBy("vid").agg(
             F.min("label").alias("msg_label"), F.count(F.lit(1)).alias("msg_cnt")
         )

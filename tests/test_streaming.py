@@ -144,14 +144,15 @@ def test_dedup_antijoin_is_bucket_pruned(spark, tmp_path):
     state.apply_batch(big, 0)
     assert state.last_scan["bucket_dirs_total"] == 0  # store was empty
 
-    # tiny micro-batch: 4 edges -> at most 4 bucket dirs scanned
+    # tiny micro-batch: 4 edges -> at most 8 bucket dirs scanned (both
+    # orientations: reverse-edge presence decides the sym-view delta)
     small = spark.createDataFrame(
         [(1, 2), (3, 4), (5, 6), (900001, 900002)], schema="src long, dst long"
     )
     state.apply_batch(small, 1)
     scan = state.last_scan
     assert scan["bucket_dirs_total"] >= 16          # store is spread out
-    assert scan["bucket_dirs_scanned"] <= 4         # pruned to the batch
+    assert scan["bucket_dirs_scanned"] <= 8         # pruned to the batch
     assert scan["bucket_dirs_scanned"] < scan["bucket_dirs_total"]
 
     # ...and pruned dedup is still exact: re-delivering an already-
@@ -161,3 +162,124 @@ def test_dedup_antijoin_is_bucket_pruned(spark, tmp_path):
     state.apply_batch(dup, 2)
     n_after = spark.read.parquet(str(tmp_path / "work" / "edges")).count()
     assert n_after == n_before
+
+
+def test_per_batch_graph_is_base_plus_delta(spark, tmp_path):
+    """The r3 scale-killer: every micro-batch re-scanned + re-shuffled
+    the FULL durable store to rebuild the symmetric edge view. Now the
+    persisted base is built ONCE per state lifetime and each batch
+    composes it with an O(|batch|) delta — evidenced by the build
+    counter staying at 1 across many batches — while the converged
+    state still matches a cold batch run over the full store."""
+    from pyspark.sql import functions as F
+
+    from hoover_spark.streaming.ingest import IncrementalGraphState
+
+    work = str(tmp_path / "work")
+    state = IncrementalGraphState(
+        spark, work, kernel="wcc", num_partitions=8, n_buckets=32
+    )
+    big = rmat_graph(spark, scale=8, edge_factor=4).cleaned()
+    state.apply_batch(big, 0)
+    assert state.base_builds == 1
+
+    # chain-link micro-batches: merge existing components + new vertices
+    vids = sorted(r["vid"] for r in Graph(big).vertices().limit(12).collect())
+    for i in range(5):
+        small = spark.createDataFrame(
+            [
+                (vids[2 * i], vids[2 * i + 1]),          # may merge comps
+                (vids[2 * i], 10_000_000 + i),            # brand-new vertex
+            ],
+            schema="src long, dst long",
+        )
+        state.apply_batch(small, i + 1)
+
+    assert state.base_builds == 1        # base NEVER rebuilt per batch
+    assert state.compactions == 0        # deltas stayed under threshold
+    assert state.last_scan["bucket_dirs_scanned"] <= 4  # 2 edges x 2 dirs
+
+    # correctness: incremental == cold run over the full durable store
+    full = spark.read.parquet(os.path.join(work, "edges")).select("src", "dst")
+    got = {r["vid"]: r["label"] for r in state.state().collect()}
+    want = {
+        r["vid"]: r["label"] for r in wcc(Graph(full, num_partitions=8)).collect()
+    }
+    assert got == want
+
+    # reverse-direction delivery: (b,a) for a stored (a,b) must not
+    # duplicate the symmetric view (delta_sym excludes it) and must
+    # leave labels unchanged
+    one = big.limit(1).collect()[0]
+    rev = spark.createDataFrame(
+        [(one["dst"], one["src"])], schema="src long, dst long"
+    )
+    before = state._delta_rows
+    state.apply_batch(rev, 99)
+    assert state._delta_rows == before  # sym view gained nothing
+    got2 = {r["vid"]: r["label"] for r in state.state().collect()}
+    assert got2 == want
+
+
+def test_compaction_folds_delta_into_base(spark, tmp_path):
+    """Once the delta outgrows the threshold, ONE amortized rebuild
+    folds it into a fresh persisted base (and results stay exact)."""
+    from hoover_spark.streaming.ingest import IncrementalGraphState
+
+    work = str(tmp_path / "work")
+    state = IncrementalGraphState(
+        spark, work, kernel="wcc", num_partitions=8, n_buckets=16,
+        compact_delta_frac=0.01,
+    )
+    g1 = rmat_graph(spark, scale=7, edge_factor=4).cleaned()
+    state.apply_batch(g1, 0)
+    assert state.base_builds == 1
+    # a second large batch overflows the 1% threshold (floor 4096 rows
+    # is above these sizes, so pre-floor: use enough edges) — deliver
+    # a big disjoint graph shifted into a new id range
+    from pyspark.sql import functions as F
+
+    g2 = (
+        rmat_graph(spark, scale=9, edge_factor=8)
+        .cleaned()
+        .select(
+            (F.col("src") + 50_000_000).alias("src"),
+            (F.col("dst") + 50_000_000).alias("dst"),
+        )
+    )
+    state.apply_batch(g2, 1)
+    assert state.compactions == 1
+    assert state.base_builds == 2  # rebuilt once, by compaction
+
+    full = spark.read.parquet(os.path.join(work, "edges")).select("src", "dst")
+    got = {r["vid"]: r["label"] for r in state.state().collect()}
+    want = {
+        r["vid"]: r["label"] for r in wcc(Graph(full, num_partitions=8)).collect()
+    }
+    assert got == want
+
+
+def test_store_layout_validation(spark, tmp_path):
+    """n_buckets is pinned in store_meta.json (changing it silently
+    remaps bucket ids → broken dedup) and a legacy flat store is
+    rejected loudly (r3 ADVICE medium)."""
+    import pytest
+
+    from hoover_spark.streaming.ingest import IncrementalGraphState
+
+    work = str(tmp_path / "w1")
+    s1 = IncrementalGraphState(spark, work, kernel="wcc", n_buckets=16)
+    s1.apply_batch(
+        spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long"), 0
+    )
+    with pytest.raises(ValueError, match="n_buckets"):
+        IncrementalGraphState(spark, work, kernel="wcc", n_buckets=32)
+    # same value is fine (restart path)
+    IncrementalGraphState(spark, work, kernel="wcc", n_buckets=16)
+
+    # legacy flat layout: parquet files directly in edges/, no bucket=
+    work2 = str(tmp_path / "w2")
+    flat = os.path.join(work2, "edges")
+    spark.createDataFrame([(1, 2)], "src long, dst long").coalesce(1).write.parquet(flat)
+    with pytest.raises(ValueError, match="non-bucketed"):
+        IncrementalGraphState(spark, work2, kernel="wcc", n_buckets=16)

@@ -159,3 +159,63 @@ def test_pre_contract_seeding_matches_plain(spark):
         seeded = labels_of(wcc(g, loop=seeded_loop, pre_contract=True))
         assert seeded == plain
         assert len(seeded_loop.metrics) <= len(plain_loop.metrics)
+
+
+def test_pre_contract_with_frontier_is_sound(spark):
+    """r3 ADVICE: contraction-lowered seeds OUTSIDE the caller's
+    frontier must still be broadcast. A chain whose frontier is only
+    the min vertex would previously converge with stale labels on the
+    cross-partition tail; the lowered-seed frontier expansion fixes
+    it."""
+    from hoover_spark.operators.graph import graph_from_pairs
+
+    # 24-vertex chain split over 8 partitions: contraction is certain
+    # to lower seeds in partitions the 1-vertex frontier never touches
+    pairs = [(i, i + 1) for i in range(24)]
+    g = graph_from_pairs(spark, pairs, num_partitions=8)
+    frontier = spark.createDataFrame([(0,)], "vid long")
+    got = labels_of(wcc(g, pre_contract=True, initial_frontier=frontier))
+    assert got == {v: 0 for v in range(25)}
+
+
+def test_pre_contract_warm_start_cuts_rounds(spark):
+    """VERDICT r3 #6: a warm restart after a chain-heavy batch benefits
+    from label-aware local contraction — identical labels, fewer
+    message rounds (the new chain collapses in the zero-shuffle sweep
+    instead of O(log chain) hash-min rounds)."""
+    from pyspark.sql import functions as F
+
+    from hoover_spark.operators.graph import graph_from_pairs
+    from hoover_spark.plans.iteration import IterationLoop
+
+    # converged old graph: component {0, 1}
+    old_pairs = [(0, 1)]
+    # incremental batch: a 256-vertex chain hanging off vertex 0
+    chain = [(0, 1000)] + [(1000 + i, 1001 + i) for i in range(255)]
+    g = graph_from_pairs(spark, old_pairs + chain, num_partitions=8)
+    prev = spark.createDataFrame([(0, 0), (1, 0)], "vid long, label long")
+    new_verts = spark.createDataFrame(
+        [(v, v) for v in range(1000, 1256)], "vid long, label long"
+    )
+    warm = prev.unionByName(new_verts)
+    endpoints = sorted({v for e in chain for v in e})
+    frontier = spark.createDataFrame([(v,) for v in endpoints], "vid long")
+
+    plain_loop = IterationLoop(spark, kernel="wcc")
+    seeded_loop = IterationLoop(spark, kernel="wcc")
+    plain = labels_of(
+        wcc(g, loop=plain_loop, initial_labels=warm, initial_frontier=frontier)
+    )
+    seeded = labels_of(
+        wcc(
+            g,
+            loop=seeded_loop,
+            initial_labels=warm,
+            initial_frontier=frontier,
+            pre_contract=True,
+        )
+    )
+    want = {v: 0 for v in [0, 1] + list(range(1000, 1256))}
+    assert plain == want
+    assert seeded == want
+    assert len(seeded_loop.metrics) < len(plain_loop.metrics)
