@@ -781,15 +781,34 @@ _PAS_AGENTS0_SQL = (
 )
 
 
+# The two pas contract queries share one trace: the simulation's
+# per-timestep states are localCheckpointed, so the (agents, patches)
+# DataFrames stay valid for the whole session — run the 5-step
+# two-graph simulation ONCE per (session, sf_dir) instead of once per
+# gate query (r3 VERDICT #5: gate-wall hygiene).
+_PAS_TRACE_CACHE: dict = {}
+
+
+def _pas_trace(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PAS_TRACE_CACHE.get(key)
+    if hit is None:
+        from hoover_spark.operators.pas import pas_simulate
+
+        hit = pas_simulate(
+            _pas_agents0(spark, sf_dir), PAS_STEPS, PAS_GRID, PAS_SUBSTEPS,
+            spark=spark,
+        )
+        _PAS_TRACE_CACHE.clear()  # one live trace at a time (bounded memory)
+        _PAS_TRACE_CACHE[key] = hit
+    return hit
+
+
 def q_pas_agents(spark, sf_dir):
     """AGENT_GRAPH trace of the coupled patch/agent SEIR model
     (reference test/pas.cpp — the only multi-graph application):
     per-(agent, t) health / patch / activity / stay."""
-    from hoover_spark.operators.pas import pas_simulate
-
-    a, _ = pas_simulate(
-        _pas_agents0(spark, sf_dir), PAS_STEPS, PAS_GRID, PAS_SUBSTEPS, spark=spark
-    )
+    a, _ = _pas_trace(spark, sf_dir)
     return a.select(
         F.col("agent_id").cast("long").alias("agent_id"),
         F.col("t").cast("long").alias("t"),
@@ -804,11 +823,7 @@ def q_pas_patches(spark, sf_dir):
     """PATCH_GRAPH trace: the per-patch mosquito-population ODE
     (RK4, reference update_patch pas.cpp:452-491) driven by the agent
     census — the cross-graph coupling direction agents→patches."""
-    from hoover_spark.operators.pas import pas_simulate
-
-    _, p = pas_simulate(
-        _pas_agents0(spark, sf_dir), PAS_STEPS, PAS_GRID, PAS_SUBSTEPS, spark=spark
-    )
+    _, p = _pas_trace(spark, sf_dir)
     return p.select(
         F.col("patch_id").cast("long").alias("patch_id"),
         F.col("t").cast("long").alias("t"),

@@ -75,6 +75,95 @@ def _apply_exprs(df: DataFrame, exprs: list[tuple[str, str]]) -> DataFrame:
     return df
 
 
+def _guarded_inv(n: F.Column, p: F.Column, axis: str) -> F.Column:
+    """``1/(n - p)`` with the reference's ``assert(x_delta != 0.0)``
+    (``compute_accel``, :103/:110) made loud on both engines: two
+    interacting particles sharing an exact coordinate raise instead of
+    silently folding a NULL-turned-zero force into the sum (Spark,
+    non-ANSI, yields NULL on 1/0 while DuckDB yields inf — a silent
+    cross-engine divergence without the guard)."""
+    return F.when(
+        n == p,
+        F.raise_error(
+            F.lit(
+                f"nbody: interacting particles share an exact {axis} "
+                "coordinate (reference asserts x_delta != 0.0)"
+            )
+        ).cast("double"),
+    ).otherwise(F.lit(1.0) / (n - p))
+
+
+def nbody_step(state: DataFrame, threshold: float = THRESHOLD) -> DataFrame:
+    """One timestep as a (lazy) DataFrame plan over state
+    ``(pid, x, y, vx, vy, ppx, ppy)`` — the grid-pruned layer join +
+    order-deterministic force fold + cap/integrate/wrap. Shared by
+    :func:`nbody_simulate` and the plan auditor
+    (``tools/explain_plans.py``)."""
+    cell = threshold  # grid side = interaction radius (might_interact)
+    thr2 = float(threshold) * float(threshold)
+    # neighbor join: my pos(t-1) vs their PREV pos(t-2), pruned via
+    # grid cells (home cell on the left, 3x3 expansion on the right)
+    left = state.select(
+        "pid", "x", "y", "vx", "vy",
+        F.floor(F.col("x") / F.lit(cell)).alias("gx"),
+        F.floor(F.col("y") / F.lit(cell)).alias("gy"),
+    )
+    right = state.select(
+        F.col("pid").alias("nid"),
+        F.col("x").alias("nx"), F.col("y").alias("ny"),
+        F.col("ppx").alias("nppx"), F.col("ppy").alias("nppy"),
+    ).select(
+        "*",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.floor(F.col("nppx") / F.lit(cell)) + dx).alias("gx"),
+                    (F.floor(F.col("nppy") / F.lit(cell)) + dy).alias("gy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ])
+        ).alias("g"),
+    ).select("nid", "nx", "ny", "nppx", "nppy", "g.gx", "g.gy")
+    # distance test spelled with explicit multiplies — pow() is not
+    # an exact fp op; strict < per the reference predicate
+    pairs = (
+        left.join(right, on=["gx", "gy"])
+        .where(F.col("pid") != F.col("nid"))
+        .where(
+            (F.col("x") - F.col("nppx")) * (F.col("x") - F.col("nppx"))
+            + (F.col("y") - F.col("nppy")) * (F.col("y") - F.col("nppy"))
+            < F.lit(thr2)
+        )
+        .select(
+            "pid",
+            F.struct(
+                "nid",
+                _guarded_inv(F.col("nx"), F.col("x"), "x").alias("fx"),
+                _guarded_inv(F.col("ny"), F.col("y"), "y").alias("fy"),
+            ).alias("f"),
+        )
+    )
+    sums = pairs.groupBy("pid").agg(
+        F.array_sort(F.collect_list("f")).alias("fs")
+    ).select(
+        "pid",
+        F.aggregate("fs", F.lit(0.0), lambda acc, s: acc + s["fx"]).alias("ax"),
+        F.aggregate("fs", F.lit(0.0), lambda acc, s: acc + s["fy"]).alias("ay"),
+    )
+    stepped = state.join(sums, on="pid", how="left").select(
+        "pid", "x", "y", "vx", "vy",
+        F.coalesce("ax", F.lit(0.0)).alias("ax"),
+        F.coalesce("ay", F.lit(0.0)).alias("ay"),
+    )
+    return _apply_exprs(stepped, accel_cap_exprs()).select(
+        "pid",
+        F.col("x2").alias("x"), F.col("y2").alias("y"),
+        F.col("vx2").alias("vx"), F.col("vy2").alias("vy"),
+        F.col("x").alias("ppx"), F.col("y").alias("ppy"),
+    )
+
+
 def nbody_simulate(
     particles0: DataFrame,
     n_steps: int,
@@ -85,8 +174,6 @@ def nbody_simulate(
 
     ``particles0(pid, x, y)`` — start positions in [0, DOMAIN); start
     velocity 0 (reference :341-349)."""
-    cell = threshold  # grid side = interaction radius (might_interact)
-    thr2 = float(threshold) * float(threshold)
     state = particles0.select(
         "pid",
         F.col("x").cast("double").alias("x"),
@@ -99,71 +186,7 @@ def nbody_simulate(
 
     traces = [state.select("pid", F.lit(0).alias("t"), "x", "y", "vx", "vy")]
     for t in range(1, n_steps):
-        # neighbor join: my pos(t-1) vs their PREV pos(t-2), pruned via
-        # grid cells (home cell on the left, 3x3 expansion on the right)
-        left = state.select(
-            "pid", "x", "y", "vx", "vy",
-            F.floor(F.col("x") / F.lit(cell)).alias("gx"),
-            F.floor(F.col("y") / F.lit(cell)).alias("gy"),
-        )
-        right = state.select(
-            F.col("pid").alias("nid"),
-            F.col("x").alias("nx"), F.col("y").alias("ny"),
-            F.col("ppx").alias("nppx"), F.col("ppy").alias("nppy"),
-        ).select(
-            "*",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        (F.floor(F.col("nppx") / F.lit(cell)) + dx).alias("gx"),
-                        (F.floor(F.col("nppy") / F.lit(cell)) + dy).alias("gy"),
-                    )
-                    for dx in (-1, 0, 1)
-                    for dy in (-1, 0, 1)
-                ])
-            ).alias("g"),
-        ).select("nid", "nx", "ny", "nppx", "nppy", "g.gx", "g.gy")
-        # distance test spelled with explicit multiplies — pow() is not
-        # an exact fp op; strict < per the reference predicate
-        pairs = (
-            left.join(right, on=["gx", "gy"])
-            .where(F.col("pid") != F.col("nid"))
-            .where(
-                (F.col("x") - F.col("nppx")) * (F.col("x") - F.col("nppx"))
-                + (F.col("y") - F.col("nppy")) * (F.col("y") - F.col("nppy"))
-                < F.lit(thr2)
-            )
-            .select(
-                "pid",
-                F.struct(
-                    "nid",
-                    (F.lit(1.0) / (F.col("nx") - F.col("x"))).alias("fx"),
-                    (F.lit(1.0) / (F.col("ny") - F.col("y"))).alias("fy"),
-                ).alias("f"),
-            )
-        )
-        sums = pairs.groupBy("pid").agg(
-            F.array_sort(F.collect_list("f")).alias("fs")
-        ).select(
-            "pid",
-            F.aggregate("fs", F.lit(0.0), lambda acc, s: acc + s["fx"]).alias("ax"),
-            F.aggregate("fs", F.lit(0.0), lambda acc, s: acc + s["fy"]).alias("ay"),
-        )
-        stepped = state.join(sums, on="pid", how="left").select(
-            "pid", "x", "y", "vx", "vy",
-            F.coalesce("ax", F.lit(0.0)).alias("ax"),
-            F.coalesce("ay", F.lit(0.0)).alias("ay"),
-        )
-        state = (
-            _apply_exprs(stepped, accel_cap_exprs())
-            .select(
-                "pid",
-                F.col("x2").alias("x"), F.col("y2").alias("y"),
-                F.col("vx2").alias("vx"), F.col("vy2").alias("vy"),
-                F.col("x").alias("ppx"), F.col("y").alias("ppy"),
-            )
-            .localCheckpoint()
-        )
+        state = nbody_step(state, threshold).localCheckpoint()
         traces.append(state.select("pid", F.lit(t).alias("t"), "x", "y", "vx", "vy"))
 
     out = traces[0]
@@ -189,11 +212,18 @@ def duckdb_oracle_sql(
     ]
     cap = accel_cap_exprs()
     for t in range(1, n_steps):
+        # the coincident-coordinate guard mirrors _guarded_inv (the
+        # reference's assert(x_delta != 0.0)) so a degenerate input
+        # fails loudly on BOTH engines instead of hash-diverging
+        fx = ("CASE WHEN b.x = a.x THEN error('nbody: coincident x') "
+              "ELSE 1.0E0 / (b.x - a.x) END")
+        fy = ("CASE WHEN b.y = a.y THEN error('nbody: coincident y') "
+              "ELSE 1.0E0 / (b.y - a.y) END")
         ctes.append(f"""
 f{t} AS (
   SELECT a.pid,
-         list_aggregate(list(1.0E0 / (b.x - a.x) ORDER BY b.pid), 'sum') AS ax,
-         list_aggregate(list(1.0E0 / (b.y - a.y) ORDER BY b.pid), 'sum') AS ay
+         list_aggregate(list({fx} ORDER BY b.pid), 'sum') AS ax,
+         list_aggregate(list({fy} ORDER BY b.pid), 'sum') AS ay
   FROM n{t - 1} a JOIN n{t - 1} b
     ON a.pid <> b.pid
    AND (a.x - b.ppx) * (a.x - b.ppx) + (a.y - b.ppy) * (a.y - b.ppy) < {thr2}

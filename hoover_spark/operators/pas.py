@@ -236,6 +236,46 @@ def initial_patches(spark: SparkSession, grid_dim: int) -> DataFrame:
     )
 
 
+def patch_step(patches: DataFrame, agents: DataFrame, substeps: int) -> DataFrame:
+    """One patch-graph timestep as a (lazy) DataFrame plan: census of
+    the agent graph at t-1 (the agent→patch DIRECTED_IN edges — the
+    Nh/Ih census of ``update_patch`` :409-430), then ``substeps`` RK4
+    substeps, then λ_h. Shared by :func:`pas_simulate` and the plan
+    auditor (``tools/explain_plans.py``)."""
+    ode = ode_substep_exprs(substeps)
+    census = agents.groupBy(F.col("patch").alias("patch_id")).agg(*_census_aggs())
+    pin = _apply_exprs(
+        patches.drop("lh").join(census, on="patch_id", how="left"), NHH_EXPRS
+    )
+    for _ in range(substeps):
+        pin = _apply_exprs(pin, ode).select(
+            "patch_id", "nhh", "ihh",
+            F.col("sv2").alias("sv"), F.col("ev2").alias("ev"),
+            F.col("iv2").alias("iv"), F.col("nv2").alias("nv"),
+        )
+    return _apply_exprs(pin, LAMBDA_H_EXPRS).select(*_PATCH_COLS)
+
+
+def agent_step(
+    agents: DataFrame, patches: DataFrame, t: int, grid_dim: int
+) -> DataFrame:
+    """One agent-graph timestep as a (lazy) DataFrame plan: read λ_h
+    from the patch occupied at t-1 (the patch→agent DIRECTED_IN edge,
+    ``update_agent`` :576-578), then the shared transition/movement
+    expressions."""
+    ain = agents.select(
+        "agent_id", "home_patch",
+        F.col("patch").alias("patch_prev"),
+        F.col("act").alias("act_prev"),
+        F.col("stay").alias("stay_prev"),
+        F.col("health").alias("health_prev"),
+    ).join(
+        patches.select(F.col("patch_id").alias("patch_prev"), "lh"),
+        on="patch_prev",
+    )
+    return _apply_exprs(ain, agent_step_exprs(t, grid_dim)).select(*_AGENT_COLS)
+
+
 def pas_simulate(
     agents0: DataFrame,
     n_steps: int,
@@ -260,45 +300,12 @@ def pas_simulate(
     ).localCheckpoint()
     patches = initial_patches(spark, grid_dim).localCheckpoint()
 
-    ode = ode_substep_exprs(substeps)
     agent_traces = [agents.select("agent_id", F.lit(0).alias("t"), *_AGENT_COLS[2:])]
     patch_traces = [patches.select("patch_id", F.lit(0).alias("t"), *_PATCH_COLS[1:])]
 
     for t in range(1, n_steps):
-        # -- patch update: census of the AGENT graph at t-1 (the
-        #    agent→patch DIRECTED_IN edges), then the mosquito ODE
-        census = agents.groupBy(F.col("patch").alias("patch_id")).agg(*_census_aggs())
-        pin = _apply_exprs(
-            patches.drop("lh").join(census, on="patch_id", how="left"), NHH_EXPRS
-        )
-        for _ in range(substeps):
-            pin = _apply_exprs(pin, ode).select(
-                "patch_id", "nhh", "ihh",
-                F.col("sv2").alias("sv"), F.col("ev2").alias("ev"),
-                F.col("iv2").alias("iv"), F.col("nv2").alias("nv"),
-            )
-        patches_t = (
-            _apply_exprs(pin, LAMBDA_H_EXPRS).select(*_PATCH_COLS).localCheckpoint()
-        )
-
-        # -- agent update: read λ_h from the PATCH graph at t-1 (the
-        #    patch→agent DIRECTED_IN edge: the patch the agent occupied)
-        ain = agents.select(
-            "agent_id", "home_patch",
-            F.col("patch").alias("patch_prev"),
-            F.col("act").alias("act_prev"),
-            F.col("stay").alias("stay_prev"),
-            F.col("health").alias("health_prev"),
-        ).join(
-            patches.select(F.col("patch_id").alias("patch_prev"), "lh"),
-            on="patch_prev",
-        )
-        agents_t = (
-            _apply_exprs(ain, agent_step_exprs(t, grid_dim))
-            .select(*_AGENT_COLS)
-            .localCheckpoint()
-        )
-
+        patches_t = patch_step(patches, agents, substeps).localCheckpoint()
+        agents_t = agent_step(agents, patches, t, grid_dim).localCheckpoint()
         agents, patches = agents_t, patches_t
         agent_traces.append(agents.select("agent_id", F.lit(t).alias("t"), *_AGENT_COLS[2:]))
         patch_traces.append(patches.select("patch_id", F.lit(t).alias("t"), *_PATCH_COLS[1:]))
