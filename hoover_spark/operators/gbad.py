@@ -81,13 +81,29 @@ def pattern_counts(
     """
     e = sym_edges.select("src", "dst")
     if max_degree is not None:
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).persist()
+        n_capped = deg.where(F.col("_d") > max_degree).count()
+        if n_capped:
+            # silently-approximate counts must be observable (r3 ADVICE):
+            # the cap changes results vs the exact reference enumeration
+            import warnings
+
+            warnings.warn(
+                f"gbad.pattern_counts: degree cap {max_degree} excluded "
+                f"{n_capped} vertices from exploration — pattern counts are "
+                "approximate relative to the exact reference DFS; pass "
+                "max_degree=None for exact counts on degree-bounded graphs",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         keep = deg.where(F.col("_d") <= max_degree).select("src")
         e = (
             e.join(keep, on="src", how="left_semi")
             .join(keep.withColumnRenamed("src", "dst"), on="dst", how="left_semi")
         )
     e = e.localCheckpoint()
+    if max_degree is not None:
+        deg.unpersist()
 
     nil = F.lit(None).cast("long")
     frontier = vertices.select(
