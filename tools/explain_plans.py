@@ -105,6 +105,54 @@ def main():
 
     sections.append(("corpus_curate (decision join over id-keyed features)", plan_of(curate_corpus(docs))))
 
+    # 10. pas per-timestep plans — the two cross-graph couplings: the
+    # agent census groupBy (agents→patches) and the λ_h join
+    # (patches→agents); state inputs are localCheckpointed like inside
+    # pas_simulate, so these are exactly the per-step runtime plans
+    from hoover_spark.operators import pas as paso
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    agents = cust.select(
+        F.col("c_custkey").alias("agent_id"),
+        F.pmod(F.col("c_custkey") * 13 + 5, F.lit(64)).alias("home_patch"),
+    ).select(
+        "agent_id", "home_patch",
+        F.col("home_patch").alias("patch"),
+        F.pmod(F.col("agent_id"), F.lit(4)).cast("long").alias("act"),
+        F.lit(0.0).alias("stay"),
+        F.lit(0.0).alias("health"),
+    ).localCheckpoint()
+    patches = paso.initial_patches(spark, 8).localCheckpoint()
+    sections.append(
+        ("pas_patch_step (agent census groupBy + RK4 + lambda_h)",
+         plan_of(paso.patch_step(patches, agents, 2)))
+    )
+    sections.append(
+        ("pas_agent_step (lambda_h join + shared transition exprs)",
+         plan_of(paso.agent_step(agents, patches, 1, 8)))
+    )
+
+    # 11. nbody per-timestep plan — grid-pruned 3x3 cell join + sorted
+    # force fold (no all-pairs, no UDF)
+    from hoover_spark.operators import nbody as nb
+
+    sup = spark.read.parquet(f"{sf}/supplier.parquet")
+    st0 = sup.select(
+        F.col("s_suppkey").alias("pid"),
+        (F.pmod(F.col("s_suppkey") * 37 + 11, F.lit(9973)) / 9973.0 * 100.0)
+        .cast("double").alias("x"),
+        (F.pmod(F.col("s_suppkey") * 53 + 29, F.lit(9973)) / 9973.0 * 100.0)
+        .cast("double").alias("y"),
+    ).select(
+        "pid", "x", "y",
+        F.lit(0.0).alias("vx"), F.lit(0.0).alias("vy"),
+        F.col("x").alias("ppx"), F.col("y").alias("ppy"),
+    ).localCheckpoint()
+    sections.append(
+        ("nbody_step (grid-pruned cell join + sorted force fold)",
+         plan_of(nb.nbody_step(st0)))
+    )
+
     report = []
     for title, plan in sections:
         checks = {
@@ -154,6 +202,26 @@ def main():
                 "  struct(sim, -list_id))` — one partial+final agg over the corpus,\n"
                 "  no row_number window over |corpus| × n_lists rows; centroids\n"
                 "  broadcast.\n"
+                "- pas_patch_step (per-timestep): the agent census is a partial\n"
+                "  HashAggregate → ONE tiny Exchange (≤ n_patches rows) → final\n"
+                "  HashAggregate, then **Broadcast**HashJoin LeftOuter onto the\n"
+                "  patch state — patches NEVER shuffle and the RK4 substeps are a\n"
+                "  pure Project chain (scalar exprs, no Python). Per step the only\n"
+                "  data moved is the census, O(n_patches) ≪ O(n_agents).\n"
+                "- pas_agent_step: a single BroadcastHashJoin (the per-patch λ_h\n"
+                "  table broadcasts — it is n_patches rows) + a Project chain for\n"
+                "  the transition/movement exprs. ZERO shuffles of the agent graph\n"
+                "  per timestep; at cluster scale the agent state stays put and\n"
+                "  only the tiny patch table moves.\n"
+                "- nbody_step: the interaction join is grid-pruned (Generate =\n"
+                "  the 3×3 cell explode, then an equi-join on (gx, gy) — never\n"
+                "  all-pairs); the force fold is partial+final ObjectHashAggregate\n"
+                "  over per-pid neighbor structs, bounded by the interaction\n"
+                "  radius, sorted before summation for order-determinism (no\n"
+                "  UDF). At this fixture size AQE broadcasts the cell-expanded\n"
+                "  side (BroadcastHashJoin); at scale it degrades gracefully to a\n"
+                "  shuffle on the cell key — the pruning, not the join strategy,\n"
+                "  is what bounds the pair count.\n"
             )
             for title, checks, plan in report:
                 f.write(f"\n## {title}\n\nchecks: `{checks}`\n\n```\n{plan}\n```\n")

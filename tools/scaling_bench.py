@@ -42,7 +42,16 @@ in, not about job-scheduling overhead at toy sizes):
 
 Writes bench_scaling.json; BENCH.md summarizes.
 
+Round-4 additions (run standalone, merged into the same artifacts):
+- pagerank3_24: PageRank x3 on RMAT scale-24 — the second north-rule
+  kernel at the thick work grain (round 3 proved the grain story for
+  WCC only)
+- composite24:  degrees + WCC(5) + per-vertex triangles joined per
+  vertex on RMAT scale-24 — the single "whole-engine" scaling number
+
 Usage: python tools/scaling_bench.py [reps]
+       python tools/scaling_bench.py add24 [reps]  # round-4 workloads
+       only, merged into the existing bench_scaling_raw.json
        python tools/scaling_bench.py summarize   # rebuild the summary
        from the per-JVM checkpoint (bench_scaling_raw.json) of a run
        that was killed mid-way
@@ -75,10 +84,13 @@ if not (done("rmat_clean") and done("rmat_sym")):
     g = Graph(rg.edges, num_partitions=128)
     g.clean_edges().write.mode("overwrite").parquet(base + "/rmat_clean")
     g.sym_edges().write.mode("overwrite").parquet(base + "/rmat_sym")
-if not done("rmat24_sym"):
+if not (done("rmat24_sym") and done("rmat24_clean")):
     rg = rmat_graph(spark, scale=24, edge_factor=8)
     g = Graph(rg.edges, num_partitions=256)
-    g.sym_edges().write.mode("overwrite").parquet(base + "/rmat24_sym")
+    if not done("rmat24_sym"):
+        g.sym_edges().write.mode("overwrite").parquet(base + "/rmat24_sym")
+    if not done("rmat24_clean"):
+        g.clean_edges().write.mode("overwrite").parquet(base + "/rmat24_clean")
 if not done("repos"):
     repos_table(spark, 8_000_000, num_partitions=128).write.mode("overwrite").parquet(base + "/repos")
 if not done("docs640"):
@@ -157,6 +169,65 @@ out["minhash"] = {"wall": timed2(lambda: minhash_signatures(docs, "doc_id", "tex
 print("RESULT " + json.dumps(out), flush=True)
 """
 
+# Round-4 additions (VERDICT r3 #3/#7), runnable standalone via the
+# `add24` mode so the expensive round-3 matrix is not re-run:
+# - pagerank3_24: the second north-rule kernel at the thick work grain
+#   (round 3 proved the thin-work explanation for WCC only; PageRank's
+#   only row was RMAT-22 at 0.35 efficiency)
+# - composite24: the "whole-engine" scaling number — degrees + WCC +
+#   per-vertex triangles joined per vertex (the vertex_metrics shape)
+#   on RMAT-24. WCC capped at 5 rounds so the work is identical across
+#   configurations (scaling is a throughput property; convergence-round
+#   count is graph-, not config-, dependent either way).
+WORKER24 = r"""
+import json, statistics, sys, time
+cores = int(sys.argv[1])
+from hoover_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark("scaling24", cores=cores, extra_conf={"spark.ui.showConsoleProgress": "false"})
+
+from hoover_spark.operators.graph import Graph
+from hoover_spark.operators.pagerank import pagerank
+from hoover_spark.operators.triangles import per_vertex_triangles
+from hoover_spark.operators.wcc import wcc
+
+base = "/dev/shm/scaling_inputs_v3"
+out = {}
+
+def timed2(fn, n_warm, n_timed):
+    for _ in range(n_warm):
+        fn()
+    walls = []
+    for _ in range(n_timed):
+        t0 = time.perf_counter(); fn()
+        walls.append(time.perf_counter() - t0)
+    return round(statistics.median(walls), 2)
+
+clean = spark.read.parquet(base + "/rmat24_clean")
+sym = spark.read.parquet(base + "/rmat24_sym")
+g = Graph(clean, num_partitions=4 * cores)
+g._cache["clean_part"] = clean.repartition(4 * cores, "src").persist()
+g._cache["sym_part"] = sym.repartition(4 * cores, "src").persist()
+ne = g.clean_edges().count(); ns = g.sym_edges().count()
+out["pagerank3_24"] = {"wall": timed2(lambda: pagerank(g, n_iterations=3).count(), n_warm=2, n_timed=2), "work": 3 * ne}
+
+def composite():
+    deg = g.degrees()
+    labels = wcc(g, max_iterations=5)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
+    tri = per_vertex_triangles(g)
+    return (
+        labels.join(deg, on="vid")
+        .join(sizes, on="label")
+        .join(tri, on="vid")
+        .count()
+    )
+
+out["composite24"] = {"wall": timed2(composite, n_warm=1, n_timed=2), "work": 6 * ns}
+
+print("RESULT " + json.dumps(out), flush=True)
+"""
+
 
 def run(script: str, cores: int, tag: str, pin: bool = True) -> dict | None:
     # Emulate an N-core NODE, not N Spark threads on a 32-core machine:
@@ -184,20 +255,29 @@ def run(script: str, cores: int, tag: str, pin: bool = True) -> dict | None:
     raise RuntimeError(f"{tag} cores={cores} failed:\n{p.stdout[-1500:]}\n{p.stderr[-1500:]}")
 
 
-WORKLOADS = ("edge_extract", "sha_verify", "pagerank3", "wcc5", "wcc5_24", "minhash")
+WORKLOADS = ("edge_extract", "sha_verify", "pagerank3", "wcc5", "wcc5_24",
+             "pagerank3_24", "composite24", "minhash")
 RAW_PATH = "bench_scaling_raw.json"
 
 
 def summarize(results: dict[int, list[dict]]) -> dict:
+    """Per-workload medians over every JVM rep that ran that workload
+    (a rep dict holds only its own mode's workloads, so `add24` reps
+    merge into the same raw file as the base matrix)."""
     summary = {}
     for wl in WORKLOADS:
         best = {}
         for cores in (8, 32):
-            walls = [rr[wl]["wall"] for rr in results[cores]]
-            work = results[cores][0][wl]["work"]
+            reps = [rr for rr in results[cores] if wl in rr]
+            if not reps:
+                break
+            walls = [rr[wl]["wall"] for rr in reps]
+            work = reps[0][wl]["work"]
             med = statistics.median(walls)
             best[cores] = {"median_wall": med, "all_walls": walls,
                            "throughput": round(work / med, 1)}
+        if len(best) < 2:
+            continue
         speedup = best[8]["median_wall"] / best[32]["median_wall"]
         summary[wl] = {
             **{f"c{c}": best[c] for c in (8, 32)},
@@ -217,13 +297,24 @@ def main():
             raw = json.load(f)
         results = {int(k): v for k, v in raw.items()}
     else:
-        reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+        mode = "base"
+        argv = sys.argv[1:]
+        if argv and argv[0] == "add24":
+            # round-4 additions only — merge into the existing raw file
+            # (summarize handles reps that carry different workloads)
+            mode = "add24"
+            argv = argv[1:]
+            if os.path.exists(RAW_PATH):
+                with open(RAW_PATH) as f:
+                    results = {int(k): v for k, v in json.load(f).items()}
+        reps = int(argv[0]) if argv else 3
+        worker = WORKER24 if mode == "add24" else WORKER
         print("preparing inputs ...", flush=True)
         run(PREP, 32, "prep")
         for r in range(reps):
             for cores in (8, 32):
                 print(f"rep {r} cores {cores} ...", flush=True)
-                results[cores].append(run(WORKER, cores, "worker"))
+                results[cores].append(run(worker, cores, "worker"))
                 print(f"  -> { {k: v['wall'] for k, v in results[cores][-1].items()} }", flush=True)
                 # checkpoint after every JVM: a killed run still yields
                 # medians over the completed interleaved reps
