@@ -1,0 +1,84 @@
+"""Aggregate DRAM bandwidth probe: why bandwidth-bound kernels cannot
+scale 4x on ONE box.
+
+Each pinned worker process streams a 256 MiB numpy copy (read+write);
+the aggregate GB/s across workers is the box's achievable memory
+bandwidth at that thread count. On this sandbox the ceiling is reached
+by ~8 threads (measured best-of-interleaved: ~121 GB/s at 8 threads,
+~132 GB/s at 32 — 4x the threads buy ~1.09x the bandwidth), so a
+stage whose cost is dominated by memory traffic (PageRank's O(|E|)
+per-iteration contribution shuffle, regexp string scans) is
+mathematically capped near 1.1x speedup from local[8] to local[32] —
+per-thread bandwidth at 32 threads is ~1/4 of the 8-thread figure.
+Adding executor *machines* multiplies DRAM bandwidth with core count;
+this cap is a one-box artifact, not a plan property. See BENCH.md
+"Reading these numbers honestly".
+
+Steal caveat: single samples on this box collapse under hypervisor
+steal (measured 1.2-132 GB/s for byte-identical 32-thread runs,
+worse at high thread counts because occupying every vCPU competes
+directly with the hypervisor's other tenants). The probe therefore
+interleaves thread counts and reports the per-count MAX across rounds
+(bandwidth is a ceiling — interference only subtracts).
+
+Usage: python tools/bandwidth_probe.py [rounds] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+
+def _worker(core: int, q, seconds: float = 3.0) -> None:
+    import numpy as np
+
+    os.sched_setaffinity(0, {core})
+    a = np.empty(32 * 1024 * 1024, dtype=np.float64)  # 256 MiB
+    a[:] = 1.0
+    b = np.empty_like(a)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        np.copyto(b, a)
+        n += 1
+    dt = time.perf_counter() - t0
+    q.put(n * a.nbytes * 2 / dt / 1e9)  # GB/s, read+write
+
+
+def measure(n_threads: int) -> float:
+    q = mp.Queue()
+    ps = [mp.Process(target=_worker, args=(c, q)) for c in range(n_threads)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return sum(q.get() for _ in ps)
+
+
+def main() -> None:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    counts = (8, 16, 32)
+    samples: dict[int, list[float]] = {c: [] for c in counts}
+    for r in range(rounds):
+        for c in counts:  # interleaved: a steal burst taxes one round
+            gbps = measure(c)
+            samples[c].append(round(gbps, 1))
+            print(f"round {r} threads {c:2d}: {gbps:7.1f} GB/s", flush=True)
+    result = {
+        "unit": "GB/s aggregate copy (read+write), 256 MiB/worker",
+        "samples": {str(c): samples[c] for c in counts},
+        "best": {str(c): max(samples[c]) for c in counts},
+    }
+    print(json.dumps(result["best"]))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
