@@ -52,6 +52,7 @@ def pagerank(
     resume: bool = False,
     loop: IterationLoop | None = None,
     initial_ranks: DataFrame | None = None,
+    n_vertices: int | None = None,
 ) -> DataFrame:
     """Return ``(vid: long, rank: double)``; ranks sum to 1.
 
@@ -60,6 +61,9 @@ def pagerank(
     ``salt_buckets > 0`` switches the contribution SUM to the explicit
     two-stage salted aggregation.
     ``initial_ranks`` warm-starts (streaming incremental re-convergence).
+    ``n_vertices`` (with ``initial_ranks``) skips the vertex scan
+    entirely — the streaming path tracks the count incrementally, so a
+    micro-batch pays no O(|V|) distinct just to learn ``n``.
     """
     spark = spark or graph.edges.sparkSession
     loop = loop or IterationLoop(
@@ -77,8 +81,12 @@ def pagerank(
     # union of the views themselves would erase it and re-shuffle the
     # FULL edge side every iteration of every micro-batch.
     edge_views = graph.clean_edge_views()
-    verts = graph.vertices().persist()
-    n = verts.count()
+    verts = None
+    if n_vertices is not None and initial_ranks is not None:
+        n = int(n_vertices)
+    else:
+        verts = graph.vertices().persist()
+        n = verts.count()
     if len(edge_views) == 1:
         out_deg = (
             edge_views[0]
@@ -196,6 +204,7 @@ def pagerank(
             break
 
     result = loop.finish(state.select("vid", "rank"), it)
-    verts.unpersist()
+    if verts is not None:
+        verts.unpersist()
     out_deg.unpersist()
     return result

@@ -387,18 +387,37 @@ class IncrementalGraphState:
         else:
             prev = self._state
             warm = None
+            n_vertices = None
             if prev is not None:
-                verts = graph.vertices()
-                n = verts.count()
-                joined = verts.join(prev, on="vid", how="left")
-                warm_raw = joined.select(
-                    "vid", F.coalesce("rank", F.lit(1.0 / n)).alias("rank")
+                # O(|batch|) warm prep: new vertices come from the
+                # batch's own endpoints and the vertex count is tracked
+                # incrementally — no full-store vertex distinct per
+                # micro-batch (prev covers every previously-seen vertex)
+                fresh_verts = (
+                    fresh.select(F.col("src").alias("vid"))
+                    .unionByName(fresh.select(F.col("dst").alias("vid")))
+                    .distinct()
+                )
+                new_verts = fresh_verts.join(
+                    prev.select("vid"), on="vid", how="left_anti"
+                )
+                n_vertices = prev.count() + new_verts.count()
+                warm_raw = prev.select("vid", "rank").unionByName(
+                    new_verts.select(
+                        "vid", F.lit(1.0 / n_vertices).alias("rank")
+                    )
                 )
                 total = warm_raw.agg(F.sum("rank")).collect()[0][0]
                 warm = warm_raw.select(
                     "vid", (F.col("rank") / F.lit(total)).alias("rank")
                 )
-            state = pagerank(graph, loop=loop, initial_ranks=warm, **self.kernel_kwargs)
+            state = pagerank(
+                graph,
+                loop=loop,
+                initial_ranks=warm,
+                n_vertices=n_vertices,
+                **self.kernel_kwargs,
+            )
 
         self._state = self._save_state(state)
         if graph is not self._base:

@@ -105,6 +105,16 @@ if not done("docs640"):
         F.concat(F.lit("v"), F.col("rep").cast("string"), F.lit("x "),
                  F.col("text")).alias("text"),
     ).repartition(128).write.mode("overwrite").parquet(base + "/docs640")
+if not done("docs2560"):
+    # round-4 resize: the 640-copy corpus still ran ~2 s at local[32]
+    # (noise-limited, flagged in BENCH.md r3); 2560 copies (12.8M docs,
+    # ~1.5 GB parquet) x64 hashes puts c32 walls well past 10 s
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    docs.crossJoin(spark.range(2560).select(F.col("id").alias("rep"))).select(
+        (F.col("doc_id") * 2560 + F.col("rep")).alias("doc_id"),
+        F.concat(F.lit("v"), F.col("rep").cast("string"), F.lit("x "),
+                 F.col("text")).alias("text"),
+    ).repartition(256).write.mode("overwrite").parquet(base + "/docs2560")
 print("PREP_OK", flush=True)
 """
 
@@ -229,6 +239,32 @@ print("RESULT " + json.dumps(out), flush=True)
 """
 
 
+# Round-4 minhash resize (the 640-copy row stayed noise-limited):
+# 12.8M docs x 64 hashes — c32 walls well past the driver-latency floor
+WORKER_MH = r"""
+import json, statistics, sys, time
+cores = int(sys.argv[1])
+from hoover_spark.session import get_spark
+spark = get_spark("scaling_mh", cores=cores, extra_conf={"spark.ui.showConsoleProgress": "false"})
+from hoover_spark.operators.dedup import minhash_signatures
+
+base = "/dev/shm/scaling_inputs_v3"
+
+def timed2(fn, n_warm=2, n_timed=2):
+    for _ in range(n_warm):
+        fn()
+    walls = []
+    for _ in range(n_timed):
+        t0 = time.perf_counter(); fn()
+        walls.append(time.perf_counter() - t0)
+    return round(statistics.median(walls), 2)
+
+docs = spark.read.parquet(base + "/docs2560").persist(); nd = docs.count()
+out = {"minhash_big": {"wall": timed2(lambda: minhash_signatures(docs, "doc_id", "text", n_hashes=64).count()), "work": nd}}
+print("RESULT " + json.dumps(out), flush=True)
+"""
+
+
 def run(script: str, cores: int, tag: str, pin: bool = True) -> dict | None:
     # Emulate an N-core NODE, not N Spark threads on a 32-core machine:
     # - taskset pins the whole JVM (workers + GC + JIT + netty) to
@@ -256,7 +292,7 @@ def run(script: str, cores: int, tag: str, pin: bool = True) -> dict | None:
 
 
 WORKLOADS = ("edge_extract", "sha_verify", "pagerank3", "wcc5", "wcc5_24",
-             "pagerank3_24", "composite24", "minhash")
+             "pagerank3_24", "composite24", "minhash", "minhash_big")
 RAW_PATH = "bench_scaling_raw.json"
 
 
@@ -299,16 +335,16 @@ def main():
     else:
         mode = "base"
         argv = sys.argv[1:]
-        if argv and argv[0] == "add24":
+        if argv and argv[0] in ("add24", "addmh"):
             # round-4 additions only — merge into the existing raw file
             # (summarize handles reps that carry different workloads)
-            mode = "add24"
+            mode = argv[0]
             argv = argv[1:]
             if os.path.exists(RAW_PATH):
                 with open(RAW_PATH) as f:
                     results = {int(k): v for k, v in json.load(f).items()}
         reps = int(argv[0]) if argv else 3
-        worker = WORKER24 if mode == "add24" else WORKER
+        worker = {"add24": WORKER24, "addmh": WORKER_MH, "base": WORKER}[mode]
         print("preparing inputs ...", flush=True)
         run(PREP, 32, "prep")
         for r in range(reps):
