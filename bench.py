@@ -141,13 +141,16 @@ def main() -> None:
         extras["pagerank_iters"] = len(loop.metrics)
 
     def q_wcc():
-        # cold-graph recipe: zero-shuffle per-partition union-find seed
-        # + hash-min with pointer jumping (fewest rounds; at bench scale
-        # wall ≈ rounds x scheduling floor)
+        # cold-graph recipe: 3-level iterated star contraction seed
+        # (all lazy, inside round 1's plan) + hash-min with pointer
+        # jumping — 6 rounds on this graph vs 14 single-level, and at
+        # bench scale wall ≈ rounds x scheduling floor. Level sweet
+        # spot measured: lv4+ trades rounds for in-plan shuffle depth
+        # and loses.
         loop = IterationLoop(spark, kernel="wcc", max_iterations=100)
         wcc(
             state["graph"], spark=spark, loop=loop,
-            pre_contract=True, pointer_jumping=True,
+            pre_contract=True, pre_contract_levels=3, pointer_jumping=True,
         ).count()
         extras["wcc_iters"] = len(loop.metrics)
 

@@ -15,7 +15,8 @@ Spark-first plan per iteration (all JVM-side, whole-stage codegen):
     sums     = contribs groupBy(dst) SUM         — partial+final agg,
                optional explicit two-stage salted agg for hot dsts
     ranks'   = vertices ⟕ sums  →  (1-α)/n + α·(sum + dangling/n)
-    delta    = max |ranks' - ranks|              — same pass as stats
+    delta    = max |ranks' - ranks|              — an Observation on the
+               checkpoint action: ONE Spark job per iteration
 
 Scale notes:
 - ``edges`` is pre-partitioned by ``src`` once and persisted; every
@@ -118,17 +119,18 @@ def pagerank(
             ranks = verts.select("vid", F.lit(1.0 / n).alias("rank"))
 
     # State carries the static out-degree (null = dangling): kills the
-    # per-iteration degree join, and lets the end-of-iteration stats
-    # aggregation compute next iteration's dangling mass in the same
-    # pass — one heavy job + one tiny agg job per iteration total
-    # (the reference's coupled-metric reduction folded the same way,
+    # per-iteration degree join, and the end-of-iteration Observation
+    # computes next iteration's dangling mass inside the checkpoint
+    # action — ONE Spark job per iteration total (the reference's
+    # coupled-metric reduction folded the same way,
     # src/hoover.cpp:2819-3180).
-    state = loop.hold(ranks.join(out_deg, on="vid", how="left"))
-    dangling = (
-        state.where(F.col("out_deg").isNull())
-        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-        .collect()[0][0]
+    state, init_stats = loop.hold_observed(
+        ranks.join(out_deg, on="vid", how="left"),
+        F.sum(
+            F.when(F.col("out_deg").isNull(), F.col("rank")).otherwise(F.lit(0.0))
+        ).alias("dangling"),
     )
+    dangling = float(init_stats["dangling"] or 0.0)
 
     base = (1.0 - alpha) / n
     it = start_iter
@@ -172,9 +174,12 @@ def pagerank(
                 F.coalesce("msg_cnt", F.lit(0)).alias("msg_cnt"),
             )
         )
-        new_state = loop.hold(stepped)
-
-        stats = new_state.agg(
+        # materialize + stats in ONE action (Observation riding the
+        # eager localCheckpoint): convergence delta, active set,
+        # messages shuffled, and NEXT iteration's dangling mass — one
+        # Spark job per iteration, no separate stats job/barrier.
+        new_state, stats = loop.hold_observed(
+            stepped,
             F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
             F.sum((F.abs(F.col("rank") - F.col("prev_rank")) > tol).cast("long")).alias(
                 "active"
@@ -183,7 +188,7 @@ def pagerank(
             F.sum(
                 F.when(F.col("out_deg").isNull(), F.col("rank")).otherwise(F.lit(0.0))
             ).alias("next_dangling"),
-        ).collect()[0]
+        )
         delta = float(stats["delta"] or 0.0)
         dangling = float(stats["next_dangling"] or 0.0)
         loop.log(

@@ -21,8 +21,9 @@ Spark-first design:
   into ~O(log diameter) — essential for long-chain graphs at scale
   (publicly known Shiloach-Vishkin / hash-min-with-shortcut technique);
 - per-iteration metrics (rows shuffled = messages aggregated, delta
-  norm = label changes, frontier size) are counted inside the same
-  aggregation pass — no extra Spark jobs;
+  norm = label changes, frontier size) ride an ``Observation`` on the
+  state-checkpoint action — ONE Spark job per round, no separate
+  stats job or barrier;
 - state is ``localCheckpoint``-ed every iteration (lineage truncation)
   and durably checkpointed every ``checkpoint_every`` iterations for
   resume (north rule).
@@ -52,6 +53,7 @@ def wcc(
     initial_labels: DataFrame | None = None,
     initial_frontier: DataFrame | None = None,
     pre_contract: bool = False,
+    pre_contract_levels: int = 1,
 ) -> DataFrame:
     """Return ``(vid: long, label: long)`` — label = min vid in component.
 
@@ -97,6 +99,22 @@ def wcc(
     members ≥ the component min (min is monotone), and the component's
     min vertex always seeds itself (its local root can only be
     itself), so hash-min still converges to the exact same labels.
+
+    ``pre_contract_levels > 1`` iterates the contraction on its own
+    star forest (:func:`multi_contract`): a vertex whose edges landed
+    in several partitions carries one root per partition, and
+    re-partitioning the (vid, root) mapping by vid puts those rows in
+    one task, whose union-find merges the roots — each level collapses
+    cross-partition chains the way one hash-min round over the star
+    forest would, but with full per-partition transitive closure and
+    still ZERO extra Spark jobs (the levels are part of round 1's
+    plan). Seeds stay monotone-exact for the same reason as level 1
+    (every mapping step sends a vertex to a component member ≤ its
+    current label, and the component minimum can only map to itself),
+    so the hash-min rounds that follow correct any residue — levels
+    only trade plan depth for round count. Publicly known technique:
+    iterated star contraction (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14).
 
     ``pre_contract`` composes with warm starts (both
     ``initial_labels`` and ``initial_frontier``): seeds become the
@@ -153,14 +171,11 @@ def wcc(
         if pre_contract:
             # one zero-shuffle union-find sweep per partition; a vertex
             # split across partitions keeps the min of its local roots
-            # (edges are already hash-partitioned by src).
-            mapping = local_contract(
-                edge_views[0], graph.num_partitions, assume_partitioned=True
+            # (edges are already hash-partitioned by src). Extra levels
+            # contract the star forest itself (see multi_contract).
+            mapping = multi_contract(
+                edge_views, graph.num_partitions, levels=pre_contract_levels
             )
-            for v in edge_views[1:]:
-                mapping = mapping.unionByName(
-                    local_contract(v, graph.num_partitions, assume_partitioned=True)
-                )
             if base0 is None:
                 seed = mapping.groupBy("vid").agg(F.min("root").alias("label"))
                 # vertices whose only incidence is a self-loop never
@@ -267,14 +282,19 @@ def wcc(
             )
         )
 
-        # 2. pointer jumping: label <- min(label, label(label)).
+        # 2. pointer jumping: label <- min(label, label_prev(label)).
         if jump_enabled:
-            # materialize first — the self-join reads `stepped` on BOTH
-            # sides; without this the message join + min-agg subtree
-            # executes twice per iteration (exchange reuse is not
-            # guaranteed under AQE)
-            stepped = loop.hold(stepped)
-            lookup = stepped.select(
+            # the lookup side is LAST round's materialized state, not
+            # this round's `stepped` — a self-join on `stepped` would
+            # either recompute the message join + min-agg subtree
+            # (exchange reuse is not guaranteed under AQE) or cost an
+            # extra materialization job per round. Last round's label
+            # for any vertex id m is a component member ≤ m (labels
+            # are monotone non-increasing and start ≤ vid), so the
+            # shortcut stays monotone-exact; it telescopes the same
+            # way (each round's pointers compress via the accumulated
+            # shortcuts of the previous round).
+            lookup = labels.select(
                 F.col("vid").alias("j_vid"), F.col("label").alias("j_label")
             )
             stepped = (
@@ -290,16 +310,18 @@ def wcc(
         else:
             stepped = stepped.withColumn("step_label", F.col("label"))
 
-        new_labels = loop.hold(stepped)
-
-        # 3. one-pass stats: frontier size, messages shuffled, and how
-        #    much the jump step contributed (for adaptive disable).
-        stats = new_labels.agg(
+        # 3. materialize + one-pass stats in the SAME action (the
+        #    Observation rides the eager localCheckpoint): frontier
+        #    size, messages shuffled, and how much the jump step
+        #    contributed (for adaptive disable). One Spark job per
+        #    round, total.
+        new_labels, stats = loop.hold_observed(
+            stepped,
             F.sum((F.col("label") < F.col("prev_label")).cast("long")).alias("changed"),
             F.sum("msg_cnt").alias("shuffled"),
             F.sum((F.col("label") < F.col("step_label")).cast("long")).alias("jump_gain"),
             F.count(F.lit(1)).alias("total"),
-        ).collect()[0]
+        )
         changed = int(stats["changed"] or 0)
         shuffled = int(stats["shuffled"] or 0)
         jump_gain = int(stats["jump_gain"] or 0)
@@ -335,6 +357,48 @@ def wcc(
         )
 
     return loop.finish(labels.select("vid", "label"), it)
+
+
+def multi_contract(edge_views, num_partitions: int = 32, levels: int = 1):
+    """Iterated per-partition star contraction: (vid, root) mapping.
+
+    Level 1 runs :func:`local_contract` over each edge view (zero
+    shuffles when the views are pre-partitioned by src). Each further
+    level contracts the *star forest* of the previous mapping: a vertex
+    whose edges were split across k partitions carries k (vid, root)
+    rows, and hashing the star edges by src co-locates them, so one
+    union-find task links those roots together — the cross-partition
+    merge that level 1 cannot see. The composed mapping sends every
+    vertex through its level-1 root to that root's level-2 root, etc.
+
+    Soundness (same invariant as single-level seeding): every root is
+    the min of a union-find set whose members all lie in one component,
+    so any composition maps a vertex to a component member ≤ its
+    current label; the component minimum only ever maps to itself.
+    Hash-min over seeds produced here therefore converges to the exact
+    same labels — levels only reduce rounds. All levels are lazy
+    (no action): the whole pyramid lands inside round 1's plan.
+    """
+    mapping = local_contract(edge_views[0], num_partitions, assume_partitioned=True)
+    for v in edge_views[1:]:
+        mapping = mapping.unionByName(
+            local_contract(v, num_partitions, assume_partitioned=True)
+        )
+    cur = mapping
+    for _ in range(max(1, int(levels)) - 1):
+        star = cur.select(F.col("vid").alias("src"), F.col("root").alias("dst"))
+        nxt = local_contract(star, num_partitions)
+        # one row per star node (min root) to keep the compose join
+        # from multiplying the mapping's row count level over level
+        lk = nxt.groupBy("vid").agg(F.min("root").alias("deep_root"))
+        mapping = (
+            mapping.join(
+                lk.withColumnRenamed("vid", "root"), on="root", how="left"
+            )
+            .select("vid", F.coalesce("deep_root", "root").alias("root"))
+        )
+        cur = nxt
+    return mapping
 
 
 def local_contract(edges, num_partitions: int = 32, assume_partitioned: bool = False):

@@ -66,6 +66,24 @@ class IterationLoop:
                 pass
         return out
 
+    def hold_observed(self, df: DataFrame, *exprs) -> tuple[DataFrame, dict]:
+        """:meth:`hold` + per-iteration stats in the SAME action.
+
+        Attaches a Spark ``Observation`` to ``df`` so the eager
+        localCheckpoint that materializes the state also computes the
+        convergence/metrics aggregates map-side — the separate tiny
+        stats job (one full scheduling round-trip per iteration, the
+        dominant fixed cost at small scale and one barrier per
+        iteration at any scale) disappears. Returns
+        ``(held_df, metrics_dict)``; the dict is available immediately
+        because the checkpoint action has already run.
+        """
+        from pyspark.sql.observation import Observation
+
+        obs = Observation()
+        out = self.hold(df.observe(obs, *exprs))
+        return out, obs.get
+
     def _kernel_dir(self) -> str | None:
         if not self.checkpoint_dir:
             return None

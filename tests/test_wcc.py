@@ -219,3 +219,34 @@ def test_pre_contract_warm_start_cuts_rounds(spark):
     assert plain == want
     assert seeded == want
     assert len(seeded_loop.metrics) < len(plain_loop.metrics)
+
+
+def test_multi_level_pre_contract_matches_and_cuts_rounds(spark):
+    """pre_contract_levels > 1 contracts the star forest again (iterated
+    star contraction, Kiveris et al. SoCC'14): identical labels always;
+    strictly fewer hash-min rounds on hub-heavy graphs, where a
+    high-degree vertex split across k partitions carries k roots that
+    one level-2 task merges at once. (On hub-free chains over random
+    hash partitions the levels add little — each level then only merges
+    the rare adjacent fragments — so the round-count claim is asserted
+    on a power-law graph, the exactness claim on both.)"""
+    from hoover_spark.plans.iteration import IterationLoop
+
+    rg = rmat_graph(spark, scale=10, edge_factor=4)
+    want = union_find_components(edges_to_pairs(rg))
+    rounds = {}
+    for lv in (1, 3):
+        loop = IterationLoop(spark, kernel="wcc")
+        got = labels_of(
+            wcc(rg, loop=loop, pre_contract=True, pre_contract_levels=lv,
+                pointer_jumping=False)
+        )
+        assert got == want
+        rounds[lv] = len(loop.metrics)
+    assert rounds[3] < rounds[1]
+
+    # long cross-partition chain: levels must stay oracle-exact even
+    # where they cannot help (adaptive jumping handles convergence)
+    g = path_graph(spark, 257)
+    got = labels_of(wcc(g, pre_contract=True, pre_contract_levels=3))
+    assert got == {v: 0 for v in range(257)}
