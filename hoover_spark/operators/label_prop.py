@@ -71,11 +71,13 @@ def mode_label_propagation(
             F.coalesce("mode_label", "label").alias("label"),
             F.coalesce("msg_cnt", F.lit(0)).alias("msg_cnt"),
         )
-        new_labels = loop.hold(stepped)
-        stats = new_labels.agg(
+        # materialize + stats in one action (Observation on the eager
+        # localCheckpoint) — no separate per-iteration stats job
+        new_labels, stats = loop.hold_observed(
+            stepped,
             F.sum((F.col("label") != F.col("prev_label")).cast("long")).alias("changed"),
             F.sum("msg_cnt").alias("shuffled"),
-        ).collect()[0]
+        )
         loop.log(
             iteration=it,
             rows_shuffled=int(stats["shuffled"] or 0),
