@@ -153,6 +153,19 @@ def main():
          plan_of(nb.nbody_step(st0)))
     )
 
+    # 12. wcc multi-level contraction seed (round 1's plan prefix) —
+    # the whole pyramid must be lazy (no Exchange on the persisted sym
+    # edge side beyond the per-level mapping repartitions; mapInPandas
+    # = ArrowEvalPython over pre-partitioned blocks, zero per-row
+    # Python rows)
+    from hoover_spark.operators.wcc import multi_contract
+
+    sym = Graph(edges).sym_edge_views()
+    sections.append(
+        ("wcc_seed (3-level iterated star contraction)",
+         plan_of(multi_contract(sym, 16, levels=3)))
+    )
+
     report = []
     for title, plan in sections:
         checks = {
@@ -222,6 +235,13 @@ def main():
                 "  side (BroadcastHashJoin); at scale it degrades gracefully to a\n"
                 "  shuffle on the cell key — the pruning, not the join strategy,\n"
                 "  is what bounds the pair count.\n"
+                "- wcc_seed: the 3-level iterated star contraction is one lazy\n"
+                "  tree — per level an ArrowEvalPython (the vectorized union-find\n"
+                "  mapInPandas over pre-partitioned edge blocks; zero per-row\n"
+                "  Python), a distinct, a groupBy(vid).min, and the compose join;\n"
+                "  the persisted sym-edge side is read once with NO extra\n"
+                "  Exchange. The whole pyramid executes inside hash-min round 1's\n"
+                "  single job; levels shuffle O(|V|) mapping rows, never edges.\n"
             )
             for title, checks, plan in report:
                 f.write(f"\n## {title}\n\nchecks: `{checks}`\n\n```\n{plan}\n```\n")
