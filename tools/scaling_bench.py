@@ -50,8 +50,11 @@ Round-4 additions (run standalone, merged into the same artifacts):
   vertex on RMAT scale-24 — the single "whole-engine" scaling number
 
 Usage: python tools/scaling_bench.py [reps]
-       python tools/scaling_bench.py add24 [reps]  # round-4 workloads
-       only, merged into the existing bench_scaling_raw.json
+       python tools/scaling_bench.py add24 [reps]  # round-4 RMAT-24
+       workloads only, merged into the existing bench_scaling_raw.json
+       python tools/scaling_bench.py addmh [reps]  # 12.8M-doc minhash
+       python tools/scaling_bench.py add22 [reps]  # RMAT-22 kernels
+       re-measured with the round-4 one-job-per-iteration loop
        python tools/scaling_bench.py summarize   # rebuild the summary
        from the per-JVM checkpoint (bench_scaling_raw.json) of a run
        that was killed mid-way
@@ -239,6 +242,48 @@ print("RESULT " + json.dumps(out), flush=True)
 """
 
 
+# Round-4 loop-change re-measure (`add22` mode): the RMAT-22 kernel
+# rows were diagnosed floor-dominated (1-2 s scheduling floor x rounds
+# at ~4-7 s/round walls). The round-4 loop runs ONE Spark job per
+# iteration (Observation-carried stats, no jump re-checkpoint), i.e.
+# it halves the fixed floor those rows were paying — re-measured here
+# as wcc5_r4/pagerank3_r4 so the thin-grain efficiency change is
+# attributable to the shipped code, not a different window.
+WORKER22 = r"""
+import json, statistics, sys, time
+cores = int(sys.argv[1])
+from hoover_spark.session import get_spark
+spark = get_spark("scaling22", cores=cores, extra_conf={"spark.ui.showConsoleProgress": "false"})
+
+from hoover_spark.operators.graph import Graph
+from hoover_spark.operators.pagerank import pagerank
+from hoover_spark.operators.wcc import wcc
+
+base = "/dev/shm/scaling_inputs_v3"
+out = {}
+
+def timed2(fn, n_warm=3, n_timed=3):
+    for _ in range(n_warm):
+        fn()
+    walls = []
+    for _ in range(n_timed):
+        t0 = time.perf_counter(); fn()
+        walls.append(time.perf_counter() - t0)
+    return round(statistics.median(walls), 2)
+
+clean = spark.read.parquet(base + "/rmat_clean")
+sym = spark.read.parquet(base + "/rmat_sym")
+g = Graph(clean, num_partitions=4 * cores)
+g._cache["clean_part"] = clean.repartition(4 * cores, "src").persist()
+g._cache["sym_part"] = sym.repartition(4 * cores, "src").persist()
+ne = g.clean_edges().count(); ns = g.sym_edges().count()
+out["pagerank3_r4"] = {"wall": timed2(lambda: pagerank(g, n_iterations=3).count()), "work": 3 * ne}
+out["wcc5_r4"] = {"wall": timed2(lambda: wcc(g, max_iterations=5).count()), "work": 5 * ns}
+
+print("RESULT " + json.dumps(out), flush=True)
+"""
+
+
 # Round-4 minhash resize (the 640-copy row stayed noise-limited):
 # 12.8M docs x 64 hashes — c32 walls well past the driver-latency floor
 WORKER_MH = r"""
@@ -292,7 +337,8 @@ def run(script: str, cores: int, tag: str, pin: bool = True) -> dict | None:
 
 
 WORKLOADS = ("edge_extract", "sha_verify", "pagerank3", "wcc5", "wcc5_24",
-             "pagerank3_24", "composite24", "minhash", "minhash_big")
+             "pagerank3_24", "composite24", "minhash", "minhash_big",
+             "pagerank3_r4", "wcc5_r4")
 RAW_PATH = "bench_scaling_raw.json"
 
 
@@ -335,7 +381,7 @@ def main():
     else:
         mode = "base"
         argv = sys.argv[1:]
-        if argv and argv[0] in ("add24", "addmh"):
+        if argv and argv[0] in ("add24", "addmh", "add22"):
             # round-4 additions only — merge into the existing raw file
             # (summarize handles reps that carry different workloads)
             mode = argv[0]
@@ -344,7 +390,7 @@ def main():
                 with open(RAW_PATH) as f:
                     results = {int(k): v for k, v in json.load(f).items()}
         reps = int(argv[0]) if argv else 3
-        worker = {"add24": WORKER24, "addmh": WORKER_MH, "base": WORKER}[mode]
+        worker = {"add24": WORKER24, "addmh": WORKER_MH, "add22": WORKER22, "base": WORKER}[mode]
         print("preparing inputs ...", flush=True)
         run(PREP, 32, "prep")
         for r in range(reps):
