@@ -283,3 +283,23 @@ def test_store_layout_validation(spark, tmp_path):
     spark.createDataFrame([(1, 2)], "src long, dst long").coalesce(1).write.parquet(flat)
     with pytest.raises(ValueError, match="non-bucketed"):
         IncrementalGraphState(spark, work2, kernel="wcc", n_buckets=16)
+
+
+def test_wcc_stream_pre_contract_kwargs(spark, tmp_path):
+    """kernel_kwargs carries pre_contract(+levels) through the streaming
+    warm path: the label-aware contraction composes with the per-batch
+    initial_labels/initial_frontier (wcc.py's lowered-seed frontier
+    expansion) and converges to the identical batch answer."""
+    g = rmat_graph(spark, scale=7, edge_factor=4)
+    drops = str(tmp_path / "drops")
+    os.makedirs(drops)
+    _write_drops(spark, g, drops, k=3)
+
+    state = run_stream(
+        spark, drops, str(tmp_path / "work"), kernel="wcc", num_partitions=8,
+        kernel_kwargs={"pre_contract": True, "pre_contract_levels": 2},
+    )
+    got = {r["vid"]: r["label"] for r in state.state().collect()}
+    want = {r["vid"]: r["label"] for r in wcc(g).collect()}
+    assert got == want
+    assert state.batches_applied == 3
