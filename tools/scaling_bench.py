@@ -304,15 +304,18 @@ def timed2(fn, n_warm=2, n_timed=2):
         walls.append(time.perf_counter() - t0)
     return round(statistics.median(walls), 2)
 
-docs = spark.read.parquet(base + "/docs2560").persist(); nd = docs.count()
+# 3.2M docs x 64 hashes through the FUSED Arrow kernel (int64-mod
+# ALU-bound: ~46G modular reductions) — sized for c32 walls ~35 s /
+# c8 well past the floor. localCheckpoint materializes the FULL
+# signature table; .count() would let Catalyst prune the work (how
+# every pre-r4 minhash scaling row under-measured: they timed the
+# pruned shingle explode, not the hashing).
+docs = spark.read.parquet(base + "/docs640").persist(); nd = docs.count()
 def job():
-    # localCheckpoint materializes the FULL signature table; .count()
-    # would let Catalyst prune the min-agg columns and time only the
-    # shingle explode (how the r4 pre-fix row under-measured)
     c = minhash_signatures(docs, "doc_id", "text", n_hashes=64).localCheckpoint(eager=True)
     c.unpersist()
 
-out = {"minhash_big_r4": {"wall": timed2(job), "work": nd}}
+out = {"minhash_big_r4": {"wall": timed2(job), "work": nd * 64}}
 print("RESULT " + json.dumps(out), flush=True)
 """
 
