@@ -348,7 +348,7 @@ def run(script: str, cores: int, tag: str, pin: bool = True) -> dict | None:
 
 WORKLOADS = ("edge_extract", "sha_verify", "pagerank3", "wcc5", "wcc5_24",
              "pagerank3_24", "composite24", "minhash", "minhash_big",
-             "pagerank3_r4", "wcc5_r4")
+             "pagerank3_r4", "wcc5_r4", "minhash_big_r4")
 RAW_PATH = "bench_scaling_raw.json"
 
 
