@@ -71,7 +71,10 @@ def main():
     g = Graph(edges)
     sections.append(("oriented_edges (degree rank)", plan_of(oriented_edges(g))))
 
-    # 5. minhash aggregation (explode → partial/final agg)
+    # 5. minhash signatures — r4 fused Arrow kernel: ONE MapInPandas
+    # over the pruned (id, text) scan, zero exchanges (the shingle
+    # rows never exist JVM-side; minima are segmented numpy reductions
+    # inside the kernel)
     sections.append(("minhash_signatures", plan_of(minhash_signatures(docs, "doc_id", "text"))))
 
     # 6. cosine top-k (broadcast of the query side)
@@ -235,6 +238,11 @@ def main():
                 "  side (BroadcastHashJoin); at scale it degrades gracefully to a\n"
                 "  shuffle on the cell key — the pruning, not the join strategy,\n"
                 "  is what bounds the pair count.\n"
+                "- minhash_signatures: a single MapInPandas over the pruned\n"
+                "  (id, text) parquet scan with ZERO exchanges — the fused Arrow\n"
+                "  kernel computes shingles and all n minima in numpy, so no\n"
+                "  per-shingle rows exist JVM-side and nothing shuffles; output\n"
+                "  is one row per document.\n"
                 "- wcc_seed: the 3-level iterated star contraction is one lazy\n"
                 "  tree — per level an ArrowEvalPython (the vectorized union-find\n"
                 "  mapInPandas over pre-partitioned edge blocks; zero per-row\n"

@@ -177,7 +177,12 @@ g24.unpersist()
 # sub-second at local[32] — inside driver latency, noise-limited
 # (ADVICE r2); this sizing puts walls well past 10 s
 docs = spark.read.parquet(base + "/docs640").persist(); nd = docs.count()
-out["minhash"] = {"wall": timed2(lambda: minhash_signatures(docs, "doc_id", "text", n_hashes=48).count()), "work": nd}
+def mh_job():
+    # FULL materialization — .count() lets Catalyst prune the min-agg
+    # columns and times only the shingle explode (r4 finding)
+    c = minhash_signatures(docs, "doc_id", "text", n_hashes=48).localCheckpoint(eager=True)
+    c.unpersist()
+out["minhash"] = {"wall": timed2(mh_job), "work": nd}
 
 print("RESULT " + json.dumps(out), flush=True)
 """
