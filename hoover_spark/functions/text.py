@@ -71,6 +71,40 @@ def subword_count(col, max_piece: int = 4) -> Column:
 # character shingles: polynomial codes (SQL-twin-able)
 # ---------------------------------------------------------------------------
 
+def code_segments(pdf, k: int):
+    """Per-batch shingle codes in segmented-vector form: returns
+    ``(ids, cat, starts)`` where ``cat`` concatenates every document's
+    k-gram polynomial codes and ``starts`` are the per-document
+    offsets (``np.*.reduceat`` boundaries). Shared by the fused
+    minhash/simhash Arrow kernels — exactly :func:`shingle_codes`'s
+    arithmetic without materializing one row per shingle.
+    ``pdf`` must have columns ``id`` and ``text``; returns None for a
+    batch with no document of length ≥ k."""
+    import numpy as np
+
+    ids, codes_list, lens = [], [], []
+    for i, t in zip(pdf["id"].to_numpy(), pdf["text"].tolist()):
+        if t is None or len(t) < k:
+            continue
+        cp = (
+            np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            % 256
+        )
+        n = len(cp) - (k - 1)
+        code = np.zeros(n, dtype=np.int64)
+        for j in range(k):
+            code += cp[j : j + n] * (POLY_BASE ** j)
+        ids.append(i)
+        codes_list.append(code)
+        lens.append(n)
+    if not ids:
+        return None
+    cat = np.concatenate(codes_list)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(np.asarray(lens[:-1], dtype=np.int64), out=starts[1:])
+    return np.asarray(ids, dtype=np.int64), cat, starts
+
+
 def shingle_codes(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
     """(id, pos, code) — one row per character k-gram.
 

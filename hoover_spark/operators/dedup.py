@@ -115,7 +115,7 @@ def minhash_signatures(
     import pandas as pd
     from pyspark.sql import types as T
 
-    from hoover_spark.functions.text import POLY_BASE
+    from hoover_spark.functions.text import code_segments
 
     coeffs = minhash_coeffs(n_hashes)
     A = np.array([a for a, _ in coeffs], dtype=np.int64)
@@ -127,32 +127,15 @@ def minhash_signatures(
 
     def run(batches):
         for pdf in batches:
-            ids, codes_list, lens = [], [], []
-            for i, t in zip(pdf["id"].to_numpy(), pdf["text"].tolist()):
-                if t is None or len(t) < k:
-                    continue
-                cp = (
-                    np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
-                    .astype(np.int64)
-                    % 256
-                )
-                n = len(cp) - (k - 1)
-                code = np.zeros(n, dtype=np.int64)
-                for j in range(k):
-                    code += cp[j : j + n] * (POLY_BASE ** j)
-                ids.append(i)
-                codes_list.append(code)
-                lens.append(n)
-            if not ids:
+            seg = code_segments(pdf, k)
+            if seg is None:
                 yield pd.DataFrame(
                     {"id": np.array([], dtype=np.int64)}
                     | {f"h{i}": np.array([], dtype=np.int64) for i in range(n_hashes)}
                 )
                 continue
-            cat = np.concatenate(codes_list)
-            starts = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(np.asarray(lens[:-1], dtype=np.int64), out=starts[1:])
-            data = {"id": np.asarray(ids, dtype=np.int64)}
+            ids, cat, starts = seg
+            data = {"id": ids}
             for idx in range(n_hashes):
                 h = (A[idx] * cat + B[idx]) % HASH_P
                 data[f"h{idx}"] = np.minimum.reduceat(h, starts)
@@ -337,23 +320,51 @@ def simhash(
     """(id, simhash) — ``n_bits``-bit SimHash over char k-gram codes.
 
     bit_j(doc) = [ sum over shingles of (±1 by bit j of the mixed
-    hash) > 0 ]. All n_bits bit-sums happen in one aggregation pass
-    (map-side combined); the final packing is a single expression."""
-    sh = shingle_codes(df, id_col, text_col, k=k)
-    mixed = F.pmod(F.lit(a) * F.col("code") + F.lit(b), F.lit(HASH_P))
-    sums = sh.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(mixed, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{j}")
-            for j in range(n_bits)
+    hash) > 0 ]. Fused vectorized Arrow kernel (same skeleton as
+    :func:`minhash_signatures`): the per-bit ±1 sums are
+    ``np.add.reduceat`` segmented reductions over the
+    batch-concatenated mixed-hash vector — no per-shingle rows cross
+    the Arrow boundary. Arithmetic is exactly the expression form
+    (``(a·code + b) mod HASH_P``, bit test, signed sum, pack) —
+    hash-gate verified vs DuckDB. Assumes ``id`` unique per row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from hoover_spark.functions.text import code_segments
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("simhash", T.LongType(), True),
         ]
     )
-    packed = None
-    for j in range(n_bits):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        packed = bit if packed is None else packed + bit
-    return sums.select("id", packed.cast("long").alias("simhash"))
+
+    def run(batches):
+        for pdf in batches:
+            seg = code_segments(pdf, k)
+            if seg is None:
+                yield pd.DataFrame(
+                    {
+                        "id": np.array([], dtype=np.int64),
+                        "simhash": np.array([], dtype=np.int64),
+                    }
+                )
+                continue
+            ids, cat, starts = seg
+            mixed = (a * cat + b) % HASH_P
+            packed = np.zeros(len(ids), dtype=np.int64)
+            for j in range(n_bits):
+                pm = np.where(((mixed >> j) & 1).astype(bool), 1, -1).astype(np.int64)
+                s = np.add.reduceat(pm, starts)
+                packed += np.where(s > 0, np.int64(1) << j, 0)
+            yield pd.DataFrame({"id": ids, "simhash": packed})
+
+    return (
+        df.where(F.length(text_col) >= k)
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .mapInPandas(run, schema=schema)
+    )
 
 
 def simhash_near_pairs(
