@@ -39,6 +39,16 @@ distinguish "code got slower" from "window was stolen" about ITSELF):
   be checked against. median ≫ min with depressed probes ⇒ stolen
   window, not a regression.
 
+Artifact interface (round-4 lesson — the driver captures a bounded
+stdout TAIL, and round 4's single line carrying 30 per-rep telemetry
+dicts outgrew it, so the official record got ``"parsed": null``): the
+printed line is now COMPACT — medians, mins, totals, extras, plus a
+per-query max-steal%% / min-probe summary so the line stays
+self-defending — and it is the FINAL stdout line. The full
+``raw_walls`` and ``rep_telemetry`` go to a sidecar file
+(``bench_telemetry.json`` next to this script, path echoed in the
+printed line) written BEFORE the headline prints.
+
 ``value`` = sum of per-query medians. Each edge_extract rep rebuilds
 the Graph from the regexp scan (the cost r1/r2 charged it); the last
 rep's persisted edge views are what the kernel queries iterate on —
@@ -208,6 +218,32 @@ def main() -> None:
     emb.unpersist()
     state["graph"].unpersist()
 
+    # Compact self-defense summary: worst steal% and slowest probe seen
+    # around any timed rep of each query. A query whose median exceeds
+    # its min with high max_steal / low min_probe was hit by a stolen
+    # window, not a code regression — readable from the headline alone.
+    steal_summary = {
+        name: {
+            "max_steal_pct": max((t["steal_pct"] for t in reps), default=0.0),
+            "min_probe_mb_s": min(
+                (min(t["probe_mb_s_before"], t["probe_mb_s_after"]) for t in reps),
+                default=0.0,
+            ),
+        }
+        for name, reps in telemetry.items()
+    }
+
+    # Full per-rep telemetry goes to a sidecar (round-4 lesson: it must
+    # NOT ride the printed line — the driver's stdout tail capture is
+    # bounded and the headline has to be the final, parseable line).
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_telemetry.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump({"raw_walls": walls, "rep_telemetry": telemetry}, f)
+    except OSError:
+        sidecar = None
+
     print(
         json.dumps(
             {
@@ -221,8 +257,8 @@ def main() -> None:
                 "cpus": cpus,
                 "warm_cycles": n_warm,
                 "timed_cycles": n_timed,
-                "raw_walls": walls,
-                "rep_telemetry": telemetry,
+                "steal_summary": steal_summary,
+                "telemetry_sidecar": sidecar,
                 **extras,
             }
         )
