@@ -54,6 +54,7 @@ def pagerank(
     loop: IterationLoop | None = None,
     initial_ranks: DataFrame | None = None,
     n_vertices: int | None = None,
+    initial_rank_sum: float | None = None,
 ) -> DataFrame:
     """Return ``(vid: long, rank: double)``; ranks sum to 1.
 
@@ -65,6 +66,19 @@ def pagerank(
     ``n_vertices`` (with ``initial_ranks``) skips the vertex scan
     entirely — the streaming path tracks the count incrementally, so a
     micro-batch pays no O(|V|) distinct just to learn ``n``.
+    ``initial_rank_sum`` renormalizes the warm ranks by dividing by the
+    given sum INSIDE the initial state projection — the division fuses
+    into the same job that materializes the state, so the caller never
+    pays a separate O(|V|) sum + scaled-copy pass (r4 scale item). The
+    value only shapes warm-start quality, never the fixed point: the
+    damped iteration is an α-contraction whose converged vector is
+    independent of the initial sum, so an incrementally-tracked
+    approximation is fine.
+
+    The final converged ``sum(rank)`` is published as
+    ``loop.kernel_state["rank_sum"]`` (measured by the per-iteration
+    Observation — no extra job); the streaming path feeds it back as
+    the next batch's ``initial_rank_sum`` numerator.
     """
     spark = spark or graph.edges.sparkSession
     loop = loop or IterationLoop(
@@ -115,6 +129,11 @@ def pagerank(
     if ranks is None:
         if initial_ranks is not None:
             ranks = initial_ranks.select("vid", "rank")
+            if initial_rank_sum is not None and abs(initial_rank_sum - 1.0) > 1e-15:
+                ranks = ranks.select(
+                    "vid",
+                    (F.col("rank") / F.lit(float(initial_rank_sum))).alias("rank"),
+                )
         else:
             ranks = verts.select("vid", F.lit(1.0 / n).alias("rank"))
 
@@ -188,9 +207,11 @@ def pagerank(
             F.sum(
                 F.when(F.col("out_deg").isNull(), F.col("rank")).otherwise(F.lit(0.0))
             ).alias("next_dangling"),
+            F.sum("rank").alias("rank_sum"),
         )
         delta = float(stats["delta"] or 0.0)
         dangling = float(stats["next_dangling"] or 0.0)
+        loop.kernel_state["rank_sum"] = float(stats["rank_sum"] or 0.0)
         loop.log(
             iteration=it,
             rows_shuffled=int(stats["shuffled"] or 0),
@@ -208,6 +229,7 @@ def pagerank(
         if n_iterations is None and delta < tol:
             break
 
+    loop.kernel_state["n_vertices"] = n
     result = loop.finish(state.select("vid", "rank"), it)
     if verts is not None:
         verts.unpersist()

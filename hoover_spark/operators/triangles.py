@@ -87,3 +87,113 @@ def per_vertex_triangles(graph: Graph) -> DataFrame:
         "vid", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )
     return out
+
+
+def triangle_delta(
+    old_sym_views: list[DataFrame], new_undirected: DataFrame
+) -> DataFrame:
+    """Per-vertex triangle increments from inserting a batch of edges.
+
+    Incremental Δ-maintenance for the streaming path — the reference's
+    triangle app is itself streaming (``test/count_triangles.c:64-88``
+    inserts 1,000 edges/iter/PE while counting). Given the OLD graph's
+    symmetric adjacency as a list of views (persisted base + prior
+    delta, kept separate so the base's partitioning survives) and the
+    batch's genuinely-new undirected edges (canonical ``src < dst``,
+    disjoint from the old symmetric view — exactly the streaming
+    store's ``delta_sym ∩ src<dst``), returns a lazy ``(vid, d)``
+    DataFrame: how many new triangles pass through each vertex. The
+    global Δcount is ``sum(d) / 3``.
+
+    Exact decomposition by how many batch edges each new triangle uses
+    (each case counts every such triangle exactly once, and the cases
+    are disjoint):
+
+    1. one new edge (u,v): common OLD neighbors — w ∈ N_old(u) with
+       (v,w) ∈ old;
+    2. two new edges (c,u), (c,v): one wedge per such triangle (its
+       unique new-new center c), closed by an OLD edge (u,v);
+    3. three new edges: plain oriented count inside the batch.
+
+    Scale shape: every join against old adjacency runs per view with
+    the batch-derived side explicitly ``broadcast()`` as the build side
+    of an INNER join, so the O(|E|) adjacency is scanned in place and
+    never shuffled — per-batch cost O(|batch| · d̄) (the candidate
+    fan-out), not O(|E|). A left_semi with the big side as build would
+    have forced a full adjacency shuffle per batch.
+    """
+    newU = new_undirected.select("src", "dst")
+    newS = newU.unionByName(
+        newU.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    def scan_old(cand: DataFrame, key_a, key_b, out_cols: list[str]) -> DataFrame:
+        """old_adj ⋈ broadcast(cand) on (a, b) = (key_a, key_b); the
+        old views are disjoint by construction (delta_sym excludes
+        stored pairs), so the per-view union never double-counts."""
+        out = None
+        for v in old_sym_views:
+            adj = v.select(F.col("src").alias("_a"), F.col("dst").alias("_b"))
+            m = adj.join(
+                F.broadcast(cand),
+                (F.col("_a") == F.col(key_a)) & (F.col("_b") == F.col(key_b)),
+            ).select(*out_cols)
+            out = m if out is None else out.unionByName(m)
+        return out
+
+    # case 1 — new (u,v), old (u,w) and (v,w): first fan out over
+    # N_old(u) (b is only bounded by (a,b)=(u,*), so key_b is a free
+    # match via the join's `u` side), then membership-check (v,w).
+    nu = newU.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    cand1 = None
+    for view in old_sym_views:
+        adj = view.select(F.col("src").alias("_a"), F.col("dst").alias("_b"))
+        m = adj.join(F.broadcast(nu), F.col("_a") == F.col("u")).select(
+            "u", "v", F.col("_b").alias("w")
+        )
+        cand1 = m if cand1 is None else cand1.unionByName(m)
+    cand1 = cand1.where(F.col("w") != F.col("v"))
+    tri1 = scan_old(cand1, "v", "w", ["u", "v", "w"])
+
+    # case 2 — two new edges share center c; closing edge (u,v) is old
+    x, y = newS.alias("x"), newS.alias("y")
+    wedge2 = (
+        x.join(y, F.col("x.src") == F.col("y.src"))
+        .where(F.col("x.dst") < F.col("y.dst"))
+        .select(
+            F.col("x.src").alias("c"),
+            F.col("x.dst").alias("u"),
+            F.col("y.dst").alias("v"),
+        )
+    )
+    tri2 = scan_old(wedge2, "u", "v", ["c", "u", "v"])
+
+    # case 3 — all three edges new (u<v<w: each triangle once)
+    p, q = newU.alias("p"), newU.alias("q")
+    tri3 = (
+        p.join(q, F.col("p.dst") == F.col("q.src"))
+        .select(
+            F.col("p.src").alias("u"),
+            F.col("p.dst").alias("v"),
+            F.col("q.dst").alias("w"),
+        )
+        .join(
+            newU.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+            on=["u", "w"],
+            how="left_semi",
+        )
+    )
+
+    def corners(t: DataFrame, cols: tuple[str, str, str]) -> DataFrame:
+        return (
+            t.select(F.col(cols[0]).alias("vid"))
+            .unionAll(t.select(F.col(cols[1]).alias("vid")))
+            .unionAll(t.select(F.col(cols[2]).alias("vid")))
+        )
+
+    allc = (
+        corners(tri1, ("u", "v", "w"))
+        .unionAll(corners(tri2, ("c", "u", "v")))
+        .unionAll(corners(tri3, ("u", "v", "w")))
+    )
+    return allc.groupBy("vid").agg(F.count(F.lit(1)).alias("d"))

@@ -54,6 +54,7 @@ def wcc(
     initial_frontier: DataFrame | None = None,
     pre_contract: bool = False,
     pre_contract_levels: int = 1,
+    track_changes: bool = False,
 ) -> DataFrame:
     """Return ``(vid: long, label: long)`` — label = min vid in component.
 
@@ -126,6 +127,18 @@ def wcc(
     frontier). Streaming re-convergence after a LARGE batch uses this
     to collapse newly-ingested chains in one zero-shuffle sweep
     instead of O(chain-length) message rounds.
+
+    ``track_changes=True`` makes the kernel carry each vertex's INITIAL
+    label (``initial_labels`` entry, or own vid) as an extra state
+    column and publish ``loop.kernel_state["changed_rows"]`` — a lazy
+    ``(vid, label)`` view over the final materialized state of exactly
+    the rows whose label dropped below their initial label (the
+    reference's ``needs_send`` set, ``inc/hvr_vertex.h:79-86``). The
+    streaming path persists ONLY these rows per micro-batch instead of
+    rewriting the full O(|V|) state. Cost: one extra 8-byte column
+    carried through the rounds and a zero-shuffle filter at the end —
+    no extra joins or jobs (labels are monotone non-increasing, so the
+    final-vs-initial comparison needs no per-round bookkeeping).
     """
     # identity checks: `1 in (True, ...)` is True in Python (1 == True),
     # which would defeat the point of rejecting truthy non-bools
@@ -204,15 +217,42 @@ def wcc(
                     .groupBy("vid")
                     .agg(F.min("rlabel").alias("label"))
                 )
-                missing = base0.join(
-                    seed.select("vid"), on="vid", how="left_anti"
-                ).select("vid", "label")
+                # vertices absent from BOTH initial_labels and the
+                # symmetric edge set (self-loop-only) would otherwise be
+                # silently dropped in the warm path (r4 ADVICE) — the
+                # same left-anti guard the cold branch applies, lazily
+                # unioned so it folds into round 1's plan.
+                vguard = (
+                    graph.vertices()
+                    .join(base0.select("vid"), on="vid", how="left_anti")
+                    .select("vid", F.col("vid").alias("label"))
+                )
+                missing = (
+                    base0.unionByName(vguard)
+                    .join(seed.select("vid"), on="vid", how="left_anti")
+                    .select("vid", "label")
+                )
             labels = seed.unionByName(missing)
         elif base0 is not None:
             labels = base0
         else:
             labels = graph.vertices().select(
                 F.col("vid"), F.col("vid").alias("label")
+            )
+    if track_changes and "l0" not in labels.columns:
+        # reference point for the changed-rows view: the CALLER's
+        # initial label (prev stored state), not the (possibly already
+        # lowered) pre_contract seed — a seed drop IS a change to
+        # record. Lazy; folds into round 1's plan.
+        if initial_labels is None:
+            labels = labels.withColumn("l0", F.col("vid"))
+        elif not pre_contract:
+            # labels IS the caller's initial mapping — copy, no join
+            labels = labels.withColumn("l0", F.col("label"))
+        else:
+            ref = initial_labels.select("vid", F.col("label").alias("l0"))
+            labels = labels.join(ref, on="vid", how="left").select(
+                "vid", "label", F.coalesce("l0", "vid").alias("l0")
             )
     # keep state hash-partitioned by vid across iterations so the
     # labels ⟕ mins join only shuffles the (smaller) message side
@@ -232,11 +272,11 @@ def wcc(
                 lowered = (
                     labels.join(
                         initial_labels.select(
-                            "vid", F.col("label").alias("l0")
+                            "vid", F.col("label").alias("_init_l0")
                         ),
                         on="vid",
                     )
-                    .where(F.col("label") < F.col("l0"))
+                    .where(F.col("label") < F.col("_init_l0"))
                     .select("vid")
                 )
             else:
@@ -258,6 +298,7 @@ def wcc(
     jump_retired = False  # once auto disables an enabled jump, stay off
     n_vertices = None
 
+    carry = ["l0"] if track_changes else []
     it = start_iter
     watch = StopWatch()
     while it < loop.max_iterations:
@@ -279,6 +320,7 @@ def wcc(
                 F.col("label").alias("prev_label"),
                 F.least("label", F.coalesce("msg_label", "label")).alias("label"),
                 F.coalesce("msg_cnt", F.lit(0)).alias("msg_cnt"),
+                *carry,
             )
         )
 
@@ -305,6 +347,7 @@ def wcc(
                     F.col("label").alias("step_label"),
                     F.least("label", F.coalesce("j_label", "label")).alias("label"),
                     "msg_cnt",
+                    *carry,
                 )
             )
         else:
@@ -348,7 +391,7 @@ def wcc(
                 # self-join is cheap — compress them
                 jump_enabled = True
 
-        labels = new_labels.select("vid", "label")
+        labels = new_labels.select("vid", "label", *carry)
         labels = loop.save_state(labels, it)
         if changed == 0:
             break
@@ -356,6 +399,13 @@ def wcc(
             "vid", "label"
         )
 
+    loop.kernel_state["n_vertices"] = n_vertices
+    if track_changes:
+        # zero-shuffle filter over the final materialized state — the
+        # rows whose label moved below the caller's initial mapping
+        loop.kernel_state["changed_rows"] = labels.where(
+            F.col("label") < F.col("l0")
+        ).select("vid", "label")
     return loop.finish(labels.select("vid", "label"), it)
 
 

@@ -46,7 +46,37 @@ touches only mutated adjacency rows, ``src/hoover.cpp:450-600``).
 Layout safety (r3 ADVICE): ``store_meta.json`` pins ``n_buckets`` for
 the lifetime of a work_dir (a different value would silently remap
 bucket ids and break dedup), and a legacy flat (non-bucketed) edge
-store is rejected loudly instead of being silently ignored.
+store is rejected loudly instead of being silently ignored. A value
+*adopted* for a pre-metadata store is recorded with
+``provenance: adopted`` and re-warned on every construction until
+confirmed (``confirm_buckets=True``) — a guessed value is never
+silently promoted to pinned truth (r4 ADVICE).
+
+STATE writes are O(changed), not O(|V|) (r4 scale item — the smaller
+sibling of the r3 full-store graph rebuild): each micro-batch persists
+only the state rows the kernel actually changed (wcc's
+``track_changes`` carried-initial-label view — the reference ships
+only ``needs_send`` vertices, ``inc/hvr_vertex.h:79-86``) as a
+sequenced delta under ``state_deltas/seq=N``, plus a periodic full
+snapshot once accumulated deltas cross ``snapshot_frac`` of the state
+(bounded resume cost). ``_load_state`` composes snapshot + replay
+(latest-wins per vid). PageRank is the documented exception: damped
+power iteration is GLOBAL — a changed dangling mass or vertex count
+moves every rank, so its per-batch changed set IS the full state and
+it keeps full snapshots (writing "deltas" would rewrite |V| rows per
+batch under a different name). Its warm prep is O(|batch|) regardless:
+the vertex count is tracked incrementally (no ``prev.count()``), and
+renormalization rides the kernel's initial state projection
+(``initial_rank_sum``) instead of materializing a scaled O(|V|) copy.
+
+Incremental triangle counting (``kernel="triangles"``): the reference
+streams its triangle benchmark (``test/count_triangles.c:64-88``,
+1,000 edges/iter/PE inserted while counting). Per batch the Δcount is
+computed by :func:`hoover_spark.operators.triangles.triangle_delta` —
+batch-side candidates broadcast against the persisted old adjacency
+(O(|batch|·d̄), the base is never shuffled) — maintaining per-vertex
+counts as the durable state plus a running total in
+``state_meta.json``.
 """
 
 from __future__ import annotations
@@ -75,8 +105,11 @@ class IncrementalGraphState:
         kernel_kwargs: dict | None = None,
         n_buckets: int = 64,
         compact_delta_frac: float = 0.125,
+        snapshot_frac: float = 0.25,
+        snapshot_floor: int = 4096,
+        confirm_buckets: bool = False,
     ) -> None:
-        assert kernel in ("wcc", "pagerank")
+        assert kernel in ("wcc", "pagerank", "triangles")
         self.spark = spark
         self.work_dir = work_dir
         self.kernel = kernel
@@ -84,12 +117,30 @@ class IncrementalGraphState:
         self.kernel_kwargs = kernel_kwargs or {}
         self.n_buckets = n_buckets
         self.compact_delta_frac = compact_delta_frac
+        self.snapshot_frac = snapshot_frac
+        self.snapshot_floor = snapshot_floor
+        self.confirm_buckets = confirm_buckets
         self.edges_dir = os.path.join(work_dir, "edges")
         self.state_dir = os.path.join(work_dir, "state")
+        self.state_deltas_dir = os.path.join(work_dir, "state_deltas")
+        self.state_meta_path = os.path.join(work_dir, "state_meta.json")
         self.metrics_path = os.path.join(work_dir, "batch_metrics.jsonl")
         os.makedirs(work_dir, exist_ok=True)
         self._validate_layout()
+        self._meta = self._load_state_meta()
         self._state: DataFrame | None = self._load_state()
+        #: incremental bookkeeping (no per-batch O(|V|) jobs): vertex
+        #: count, converged rank sum, triangle total, delta sequencing
+        self._n_vertices: int | None = self._meta.get("n_vertices")
+        self._rank_sum: float = float(self._meta.get("rank_sum", 1.0))
+        self.triangle_total: int = int(self._meta.get("triangle_total", 0))
+        self._seq: int = int(self._meta.get("seq", 0))
+        self._state_delta_rows: int = int(self._meta.get("state_delta_rows", 0))
+        self._snapshot_rows: int = int(self._meta.get("snapshot_rows", 0))
+        if self._state is not None and self._n_vertices is None:
+            # legacy layout (pre state_meta): one bounded resume-time
+            # count, never repeated per batch
+            self._n_vertices = self._state.count()
         self.batches_applied = 0
         #: pruning evidence for the last batch's dedup anti-join
         self.last_scan: dict | None = None
@@ -102,6 +153,14 @@ class IncrementalGraphState:
         #: evidence counters — a scale test asserts these stay O(1)
         self.base_builds = 0
         self.compactions = 0
+        #: state-write evidence — a scale test asserts delta writes
+        #: track the batch's changed-vertex count, not |V|
+        self.state_snapshot_writes = 0
+        self.state_delta_writes = 0
+        self.last_state_write: dict | None = None
+        #: wall of the last inline base (re)build, logged separately so
+        #: a latency SLO can see the amortized compaction spike
+        self.last_base_build_s: float = 0.0
 
     def _validate_layout(self) -> None:
         meta_path = os.path.join(self.work_dir, "store_meta.json")
@@ -121,13 +180,34 @@ class IncrementalGraphState:
                 )
         if os.path.exists(meta_path):
             with open(meta_path) as f:
-                stored = int(json.load(f)["n_buckets"])
+                meta = json.load(f)
+            stored = int(meta["n_buckets"])
             if stored != self.n_buckets:
                 raise ValueError(
                     f"work_dir {self.work_dir} was written with n_buckets="
                     f"{stored}, got {self.n_buckets}: changing it remaps bucket "
                     "ids and breaks store dedup — reuse the stored value"
                 )
+            if meta.get("provenance") == "adopted":
+                # an adopted (guessed) value is never silently promoted
+                # to pinned truth (r4 ADVICE): keep warning on every
+                # construction until the caller confirms it
+                if getattr(self, "confirm_buckets", False):
+                    meta["provenance"] = "confirmed"
+                    with open(meta_path, "w") as f:
+                        json.dump(meta, f)
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        f"n_buckets={stored} for {self.edges_dir} was ADOPTED "
+                        "for a pre-metadata store, not recorded at write time "
+                        "— if the store was written with a different value, "
+                        "dedup idempotency is broken; pass "
+                        "confirm_buckets=True once verified to silence this",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
         else:
             dirs = self._bucket_dirs()
             if dirs:
@@ -149,6 +229,12 @@ class IncrementalGraphState:
                     RuntimeWarning,
                     stacklevel=2,
                 )
+                with open(meta_path, "w") as f:
+                    json.dump(
+                        {"n_buckets": self.n_buckets, "provenance": "adopted"},
+                        f,
+                    )
+                return
             with open(meta_path, "w") as f:
                 json.dump({"n_buckets": self.n_buckets}, f)
 
@@ -187,12 +273,124 @@ class IncrementalGraphState:
             return None
         return self.spark.read.parquet(*paths).select("src", "dst")
 
+    def _load_state_meta(self) -> dict:
+        if os.path.exists(self.state_meta_path):
+            with open(self.state_meta_path) as f:
+                return json.load(f)
+        return {}
+
+    def _write_state_meta(self) -> None:
+        tmp = self.state_meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "n_vertices": self._n_vertices,
+                    "rank_sum": self._rank_sum,
+                    "triangle_total": self.triangle_total,
+                    "seq": self._seq,
+                    "state_delta_rows": self._state_delta_rows,
+                    "snapshot_rows": self._snapshot_rows,
+                },
+                f,
+            )
+        os.replace(tmp, self.state_meta_path)
+
+    def _state_delta_dirs(self) -> list[tuple[int, str]]:
+        if not os.path.isdir(self.state_deltas_dir):
+            return []
+        out = []
+        for n in os.listdir(self.state_deltas_dir):
+            p = os.path.join(self.state_deltas_dir, n)
+            if n.startswith("seq=") and os.path.exists(
+                os.path.join(p, "_SUCCESS")
+            ):
+                out.append((int(n.split("=", 1)[1]), p))
+        return sorted(out)
+
     def _load_state(self) -> DataFrame | None:
+        """Resume: full snapshot + replay of sequenced deltas,
+        latest-wins per vid. Replay cost is bounded: a snapshot is
+        rewritten whenever accumulated deltas cross ``snapshot_frac``
+        of the state, so at most that fraction is replayed."""
+        snap = None
         if os.path.isdir(self.state_dir) and os.path.exists(
             os.path.join(self.state_dir, "_SUCCESS")
         ):
-            return self.spark.read.parquet(self.state_dir)
-        return None
+            snap = self.spark.read.parquet(self.state_dir)
+        deltas = self._state_delta_dirs()
+        if snap is None and not deltas:
+            return None
+        parts = []
+        if snap is not None:
+            parts.append(snap.withColumn("_seq", F.lit(-1)))
+        for seq, path in deltas:
+            parts.append(
+                self.spark.read.parquet(path).withColumn("_seq", F.lit(seq))
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if len(parts) == 1:
+            return df.drop("_seq")
+        val_cols = [c for c in df.columns if c not in ("vid", "_seq")]
+        return df.groupBy("vid").agg(
+            *[F.max_by(c, "_seq").alias(c) for c in val_cols]
+        )
+
+    def _write_snapshot(self, df: DataFrame) -> None:
+        """Full-state snapshot (atomic swap) + clear replayed deltas."""
+        import shutil
+
+        tmp = self.state_dir + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        final_exists = os.path.isdir(self.state_dir)
+        swap = self.state_dir + ".old"
+        if final_exists:
+            os.rename(self.state_dir, swap)
+        os.rename(tmp, self.state_dir)
+        if final_exists:
+            shutil.rmtree(swap, ignore_errors=True)
+        shutil.rmtree(self.state_deltas_dir, ignore_errors=True)
+        self._state_delta_rows = 0
+        self._snapshot_rows = int(self._n_vertices or 0)
+        self.state_snapshot_writes += 1
+        self.last_state_write = {"mode": "snapshot", "rows": self._snapshot_rows}
+
+    def _write_state_delta(self, delta_df: DataFrame) -> int:
+        """Persist ONLY the batch's changed state rows (one row per vid)
+        under ``state_deltas/seq=N``; returns the row count (measured by
+        an Observation riding the write — no extra job)."""
+        from pyspark.sql.observation import Observation
+
+        obs = Observation()
+        path = os.path.join(self.state_deltas_dir, f"seq={self._seq}")
+        delta_df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        n = int(obs.get["n"] or 0)
+        self._state_delta_rows += n
+        self.state_delta_writes += 1
+        self.last_state_write = {"mode": "delta", "rows": n}
+        return n
+
+    def _persist_state(self, state_df: DataFrame, changed_df: DataFrame | None) -> None:
+        """One durable write per batch: the changed rows as a sequenced
+        delta, escalating to a full snapshot when there is no previous
+        snapshot or accumulated deltas cross the snapshot threshold."""
+        self._seq += 1
+        have_snapshot = os.path.isdir(self.state_dir) and os.path.exists(
+            os.path.join(self.state_dir, "_SUCCESS")
+        )
+        if changed_df is None or not have_snapshot:
+            self._write_snapshot(state_df)
+        else:
+            self._write_state_delta(changed_df)
+            threshold = max(
+                int(self._snapshot_rows * self.snapshot_frac), self.snapshot_floor
+            )
+            if self._state_delta_rows >= threshold:
+                self._write_snapshot(state_df)
+        self._write_state_meta()
 
     # -- long-lived graph view ------------------------------------------
     def _ensure_base(self) -> Graph:
@@ -201,6 +399,7 @@ class IncrementalGraphState:
         amortized O(|E|) pass; every micro-batch between rebuilds
         composes it with an O(|batch|) delta."""
         if self._base is None:
+            t0 = time.perf_counter()
             store = self._edges()
             if store is None:
                 store = self.spark.createDataFrame([], EDGE_SCHEMA)
@@ -220,6 +419,9 @@ class IncrementalGraphState:
             base.vertices().persist().count()
             self._base = base
             self.base_builds += 1
+            # logged separately per batch so a latency SLO can tell the
+            # amortized rebuild spike from kernel wall (r4 advisory)
+            self.last_base_build_s = round(time.perf_counter() - t0, 4)
         return self._base
 
     def _sym_complement(
@@ -279,23 +481,11 @@ class IncrementalGraphState:
             return base
         return DeltaGraph(base, self._delta, self._delta_sym)
 
-    def _save_state(self, df: DataFrame) -> DataFrame:
-        tmp = self.state_dir + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        final_exists = os.path.isdir(self.state_dir)
-        swap = self.state_dir + ".old"
-        if final_exists:
-            os.rename(self.state_dir, swap)
-        os.rename(tmp, self.state_dir)
-        if final_exists:
-            import shutil
-
-            shutil.rmtree(swap, ignore_errors=True)
-        return self.spark.read.parquet(self.state_dir)
-
     # -- the foreachBatch body ----------------------------------------------
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.perf_counter()
+        self.last_base_build_s = 0.0
+        self.last_state_write = {"mode": "none", "rows": 0}
         batch = (
             batch_df.select(
                 F.col("src").cast("long").alias("src"),
@@ -324,6 +514,12 @@ class IncrementalGraphState:
             .distinct()
             .collect()
         ]
+        # incremental triangles need the OLD adjacency (pre-batch): make
+        # sure the base exists BEFORE the store append below, else the
+        # first _ensure_base would read a store that already contains
+        # this batch and the Δ would double-count
+        if self.kernel == "triangles":
+            self._ensure_base()
         existing = self._store_slice(batch_buckets)
         if existing is not None:
             fresh = batch.join(existing, on=["src", "dst"], how="left_anti")
@@ -350,6 +546,10 @@ class IncrementalGraphState:
             self._log(batch_id, 0, 0, time.perf_counter() - t0)
             return
 
+        if self.kernel == "triangles":
+            self._apply_triangles_batch(batch_id, fresh, delta_sym_batch, n_fresh, t0)
+            return
+
         # graph view: the first batch of this state's lifetime builds
         # the persisted base (from the just-appended store); later
         # batches fold their fresh edges into the O(|batch|) delta and
@@ -360,72 +560,187 @@ class IncrementalGraphState:
         graph = self._graph_for_batch()
 
         loop = IterationLoop(self.spark, kernel=self.kernel, max_iterations=200)
+        prev = self._state
+        fresh_verts = new_verts = None
+        if prev is not None:
+            fresh_verts = (
+                fresh.select(F.col("src").alias("vid"))
+                .unionByName(fresh.select(F.col("dst").alias("vid")))
+                .distinct()
+            )
+            # new vertices come from the batch's own endpoints, never a
+            # full-store vertex scan (prev covers every seen vertex;
+            # prev is vid-partitioned so only the tiny side shuffles)
+            new_verts = fresh_verts.join(
+                prev.select("vid"), on="vid", how="left_anti"
+            )
         if self.kernel == "wcc":
-            prev = self._state
             if prev is not None:
-                fresh_verts = (
-                    fresh.select(F.col("src").alias("vid"))
-                    .unionByName(fresh.select(F.col("dst").alias("vid")))
-                    .distinct()
-                )
-                # labels for new vertices default to own vid — derived
-                # from the batch's own endpoints, not a full-store
-                # vertex scan
-                new_verts = fresh_verts.join(
-                    prev.select("vid"), on="vid", how="left_anti"
-                ).select("vid", F.col("vid").alias("label"))
-                warm = prev.select("vid", "label").unionByName(new_verts)
+                new_labeled = new_verts.select("vid", F.col("vid").alias("label"))
+                warm = prev.select("vid", "label").unionByName(new_labeled)
                 state = wcc(
                     graph,
                     loop=loop,
                     initial_labels=warm,
                     initial_frontier=fresh_verts,
+                    track_changes=True,
                     **self.kernel_kwargs,
+                )
+                # durable write = ONLY the rows the kernel changed plus
+                # the brand-new vertices (labels are monotone: min
+                # resolves a vid present in both)
+                changed = (
+                    loop.kernel_state["changed_rows"]
+                    .unionByName(new_labeled)
+                    .groupBy("vid")
+                    .agg(F.min("label").alias("label"))
                 )
             else:
                 state = wcc(graph, loop=loop, **self.kernel_kwargs)
+                changed = None  # cold start: the delta IS the state
+            self._n_vertices = int(
+                loop.kernel_state.get("n_vertices") or self._n_vertices or 0
+            )
         else:
-            prev = self._state
             warm = None
             n_vertices = None
+            init_sum = None
             if prev is not None:
-                # O(|batch|) warm prep: new vertices come from the
-                # batch's own endpoints and the vertex count is tracked
-                # incrementally — no full-store vertex distinct per
-                # micro-batch (prev covers every previously-seen vertex)
-                fresh_verts = (
-                    fresh.select(F.col("src").alias("vid"))
-                    .unionByName(fresh.select(F.col("dst").alias("vid")))
-                    .distinct()
-                )
-                new_verts = fresh_verts.join(
-                    prev.select("vid"), on="vid", how="left_anti"
-                )
-                n_vertices = prev.count() + new_verts.count()
-                warm_raw = prev.select("vid", "rank").unionByName(
+                # O(|batch|) warm prep: vertex count tracked
+                # incrementally (no prev.count()), renormalization
+                # folded into the kernel's initial projection via
+                # initial_rank_sum (no O(|V|) sum + scaled copy)
+                n_new = new_verts.count()
+                n_vertices = int(self._n_vertices) + n_new
+                warm = prev.select("vid", "rank").unionByName(
                     new_verts.select(
                         "vid", F.lit(1.0 / n_vertices).alias("rank")
                     )
                 )
-                total = warm_raw.agg(F.sum("rank")).collect()[0][0]
-                warm = warm_raw.select(
-                    "vid", (F.col("rank") / F.lit(total)).alias("rank")
-                )
+                init_sum = self._rank_sum + (n_new / n_vertices if n_new else 0.0)
             state = pagerank(
                 graph,
                 loop=loop,
                 initial_ranks=warm,
                 n_vertices=n_vertices,
+                initial_rank_sum=init_sum,
                 **self.kernel_kwargs,
             )
+            self._rank_sum = float(loop.kernel_state.get("rank_sum") or 1.0)
+            self._n_vertices = int(
+                loop.kernel_state.get("n_vertices") or n_vertices or 0
+            )
+            # power iteration is GLOBAL: dangling mass + teleport base
+            # move every rank whenever anything changes, so the changed
+            # set IS the state — keep honest full snapshots (see module
+            # docstring) instead of |V|-row "deltas"
+            changed = None
 
-        self._state = self._save_state(state)
+        # in-memory state stays the kernel's localCheckpoint-backed,
+        # vid-partitioned output (no per-batch parquet re-read)
+        self._state = state
+        self._persist_state(state, changed)
         if graph is not self._base:
             graph.unpersist()  # composite's own cache only; base persists
         self.batches_applied += 1
         self._log(batch_id, n_fresh, len(loop.metrics), time.perf_counter() - t0)
 
-    def _log(self, batch_id: int, n_new: int, iters: int, secs: float) -> None:
+    def _apply_triangles_batch(
+        self,
+        batch_id: int,
+        fresh: DataFrame,
+        delta_sym_batch: DataFrame | None,
+        n_fresh: int,
+        t0: float,
+    ) -> None:
+        """Incremental triangle maintenance: Δcount per batch from
+        joining the batch's new undirected edges against the persisted
+        OLD adjacency (base built before this batch's append) —
+        O(|batch|·d̄), the base is never shuffled. State = per-vertex
+        triangle counts (only vids on ≥1 triangle); running total in
+        state_meta.json."""
+        from pyspark.sql.observation import Observation
+
+        from hoover_spark.operators.triangles import triangle_delta
+
+        old_graph = self._graph_for_batch()  # base ∪ prior deltas, pre-batch
+        # the genuinely-new undirected pairs; canonical orientation
+        newU = (
+            delta_sym_batch.where(F.col("src") < F.col("dst"))
+            if delta_sym_batch is not None
+            else self.spark.createDataFrame([], EDGE_SCHEMA)
+        )
+        inc = triangle_delta(old_graph.sym_edge_views(), newU)
+        obs = Observation()
+        inc = inc.observe(
+            obs,
+            F.sum("d").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).localCheckpoint(eager=True)
+        tri_delta = int(obs.get["s"] or 0) // 3
+        n_inc = int(obs.get["n"] or 0)
+        self.triangle_total += tri_delta
+
+        prev = self._state
+        if prev is None:
+            merged = inc.select("vid", F.col("d").alias("tri"))
+        else:
+            # prev is vid-partitioned; inc is O(Δ) — only inc shuffles
+            merged = (
+                prev.join(inc, on="vid", how="full")
+                .select(
+                    "vid",
+                    (
+                        F.coalesce("tri", F.lit(0)) + F.coalesce("d", F.lit(0))
+                    ).alias("tri"),
+                    F.col("d").isNotNull().alias("_chg"),
+                )
+            )
+        obs2 = Observation()
+        held = (
+            merged.observe(obs2, F.count(F.lit(1)).alias("rows"))
+            .repartition(self.num_partitions, "vid")
+            .localCheckpoint(eager=True)
+        )
+        # for this kernel the bookkeeping count is STATE rows (vids on
+        # ≥1 triangle), the quantity the snapshot threshold scales with
+        self._n_vertices = int(obs2.get["rows"] or 0)
+        if prev is None:
+            self._state = held
+            changed = None
+        else:
+            self._state = held.select("vid", "tri")
+            changed = held.where(F.col("_chg")).select("vid", "tri")
+
+        # fold the batch into the long-lived graph view for next time
+        if delta_sym_batch is not None:
+            self._merge_delta(fresh, delta_sym_batch)
+            self._maybe_compact()
+
+        if changed is not None and n_inc == 0:
+            # nothing changed: skip the durable write entirely
+            self._seq += 1
+            self.last_state_write = {"mode": "none", "rows": 0}
+            self._write_state_meta()
+        else:
+            self._persist_state(self._state, changed)
+        self.batches_applied += 1
+        self._log(
+            batch_id,
+            n_fresh,
+            0,
+            time.perf_counter() - t0,
+            extra={"triangle_delta": tri_delta, "triangle_total": self.triangle_total},
+        )
+
+    def _log(
+        self,
+        batch_id: int,
+        n_new: int,
+        iters: int,
+        secs: float,
+        extra: dict | None = None,
+    ) -> None:
         with open(self.metrics_path, "a") as f:
             f.write(
                 json.dumps(
@@ -440,7 +755,14 @@ class IncrementalGraphState:
                             "base_sym_rows": self._base_rows,
                             "delta_sym_rows": self._delta_rows,
                             "compactions": self.compactions,
+                            # the amortized inline rebuild's wall,
+                            # separated from kernel wall (0.0 when this
+                            # batch paid no rebuild) — the latency-SLO
+                            # evidence for the compaction spike
+                            "base_build_s": self.last_base_build_s,
                         },
+                        "state_write": self.last_state_write,
+                        **(extra or {}),
                     }
                 )
                 + "\n"
@@ -459,6 +781,8 @@ def run_stream(
     max_files_per_trigger: int = 1,
     kernel_kwargs: dict | None = None,
     n_buckets: int = 64,
+    snapshot_frac: float = 0.25,
+    snapshot_floor: int = 4096,
 ) -> IncrementalGraphState:
     """Consume all pending edge-drop parquet files as micro-batches
     (``Trigger.AvailableNow`` semantics) and return the converged state.
@@ -469,6 +793,7 @@ def run_stream(
     state = IncrementalGraphState(
         spark, work_dir, kernel=kernel, num_partitions=num_partitions,
         kernel_kwargs=kernel_kwargs, n_buckets=n_buckets,
+        snapshot_frac=snapshot_frac, snapshot_floor=snapshot_floor,
     )
     stream = (
         spark.readStream.schema(EDGE_SCHEMA)

@@ -285,6 +285,172 @@ def test_store_layout_validation(spark, tmp_path):
         IncrementalGraphState(spark, work2, kernel="wcc", n_buckets=16)
 
 
+def test_state_write_is_o_changed(spark, tmp_path):
+    """The r4 scale item: per-batch durable state writes must be
+    O(changed rows), not a full O(|V|) state rewrite (reference ships
+    only needs_send vertices, inc/hvr_vertex.h:79-86). Evidence: the
+    write-mode/row counters track the batch's changed-vertex count,
+    and snapshot+delta replay reproduces the in-memory state."""
+    import json as _json
+
+    from hoover_spark.streaming.ingest import IncrementalGraphState
+
+    work = str(tmp_path / "work")
+    state = IncrementalGraphState(
+        spark, work, kernel="wcc", num_partitions=8, n_buckets=32
+    )
+    big = rmat_graph(spark, scale=8, edge_factor=4).cleaned()
+    state.apply_batch(big, 0)
+    assert state.state_snapshot_writes == 1          # cold start: full write
+    n_v = state._n_vertices
+    assert n_v > 50
+
+    # tiny micro-batches: each merges two existing components and adds
+    # one new vertex — the changed set is a few component relabels
+    vids = sorted(r["vid"] for r in Graph(big).vertices().limit(12).collect())
+    for i in range(4):
+        small = spark.createDataFrame(
+            [(vids[2 * i], vids[2 * i + 1]), (vids[2 * i], 20_000_000 + i)],
+            schema="src long, dst long",
+        )
+        state.apply_batch(small, i + 1)
+        w = state.last_state_write
+        assert w["mode"] == "delta", w
+        # changed rows ≤ size of the merged components + new vertex —
+        # certainly far below |V| (an O(|V|) rewrite would equal it)
+        assert w["rows"] < n_v / 2, (w, n_v)
+    assert state.state_snapshot_writes == 1          # never re-snapshotted
+    assert state.state_delta_writes == 4
+
+    # the per-batch metrics record the write evidence
+    lines = [
+        _json.loads(l)
+        for l in open(os.path.join(work, "batch_metrics.jsonl"))
+    ]
+    assert lines[-1]["state_write"]["mode"] == "delta"
+
+    # resume: snapshot + delta replay reproduces the live state exactly
+    resumed = IncrementalGraphState(
+        spark, work, kernel="wcc", num_partitions=8, n_buckets=32
+    )
+    got = {r["vid"]: r["label"] for r in resumed.state().collect()}
+    want = {r["vid"]: r["label"] for r in state.state().collect()}
+    assert got == want
+
+
+def test_state_snapshot_rotation(spark, tmp_path):
+    """Once accumulated deltas cross snapshot_frac of the state, one
+    full snapshot folds them in (bounded resume/replay cost)."""
+    from hoover_spark.streaming.ingest import IncrementalGraphState
+
+    work = str(tmp_path / "work")
+    state = IncrementalGraphState(
+        spark, work, kernel="wcc", num_partitions=8, n_buckets=16,
+        snapshot_frac=0.01, snapshot_floor=4,
+    )
+    big = rmat_graph(spark, scale=7, edge_factor=4).cleaned()
+    state.apply_batch(big, 0)
+    assert state.state_snapshot_writes == 1
+
+    anchor = min(r["vid"] for r in Graph(big).vertices().collect())
+    # each batch attaches 3 brand-new vertices to the anchor: 3 changed
+    # state rows per batch → the second batch crosses the floor of 4
+    # and triggers a rotation
+    for i in range(3):
+        small = spark.createDataFrame(
+            [(anchor, 30_000_000 + 10 * i + j) for j in range(3)],
+            schema="src long, dst long",
+        )
+        state.apply_batch(small, i + 1)
+    assert state.state_snapshot_writes >= 2          # rotated
+    assert state._state_delta_rows < 4               # cleared at rotation
+
+    # and the composed resume still matches the live state
+    from hoover_spark.streaming.ingest import IncrementalGraphState as S
+
+    resumed = S(spark, work, kernel="wcc", num_partitions=8, n_buckets=16)
+    got = {r["vid"]: r["label"] for r in resumed.state().collect()}
+    want = {r["vid"]: r["label"] for r in state.state().collect()}
+    assert got == want
+
+
+def test_triangles_stream_equals_batch(spark, tmp_path):
+    """Incremental triangle maintenance (reference streams its triangle
+    benchmark: test/count_triangles.c:64-88 inserts 1,000 edges/iter/PE
+    while counting): the stream-accumulated total and per-vertex counts
+    must equal a cold batch count over the same final edge set."""
+    from hoover_spark.operators.triangles import (
+        per_vertex_triangles,
+        triangle_count,
+    )
+
+    g = rmat_graph(spark, scale=7, edge_factor=6)
+    drops = str(tmp_path / "drops")
+    os.makedirs(drops)
+    _write_drops(spark, g, drops, k=4)
+
+    work = str(tmp_path / "work")
+    state = run_stream(spark, drops, work, kernel="triangles", num_partitions=8)
+    assert state.batches_applied == 4
+
+    full = Graph(
+        spark.read.parquet(os.path.join(work, "edges")).select("src", "dst"),
+        num_partitions=8,
+    )
+    want_total = triangle_count(full)
+    assert state.triangle_total == want_total
+
+    got = {r["vid"]: r["tri"] for r in state.state().collect()}
+    want = {
+        r["vid"]: r["triangles"]
+        for r in per_vertex_triangles(full).collect()
+        if r["triangles"] > 0
+    }
+    assert got == want
+
+    # per-batch evidence: dedup stayed bucket-pruned and the metrics
+    # carry the triangle delta per batch (last_scan style)
+    import json as _json
+
+    lines = [
+        _json.loads(l) for l in open(os.path.join(work, "batch_metrics.jsonl"))
+    ]
+    assert sum(l["triangle_delta"] for l in lines) == want_total
+    assert lines[-1]["dedup_scan"]["bucket_dirs_scanned"] <= lines[-1][
+        "dedup_scan"
+    ]["bucket_dirs_total"]
+
+
+def test_triangles_stream_resume(spark, tmp_path):
+    """Triangle state (per-vertex counts + running total) survives a
+    restart: a fresh IncrementalGraphState over the same work dir
+    continues from the persisted snapshot/deltas + meta."""
+    from hoover_spark.operators.triangles import triangle_count
+    from hoover_spark.streaming.ingest import IncrementalGraphState
+
+    g = rmat_graph(spark, scale=6, edge_factor=6)
+    e = g.cleaned().persist()
+    half1 = e.limit(e.count() // 2)
+    work = str(tmp_path / "work")
+    s1 = IncrementalGraphState(
+        spark, work, kernel="triangles", num_partitions=8, n_buckets=16
+    )
+    s1.apply_batch(half1, 0)
+
+    s2 = IncrementalGraphState(
+        spark, work, kernel="triangles", num_partitions=8, n_buckets=16
+    )
+    assert s2.triangle_total == s1.triangle_total
+    s2.apply_batch(e, 1)  # remainder (dedup drops the re-delivered half)
+
+    full = Graph(
+        spark.read.parquet(os.path.join(work, "edges")).select("src", "dst"),
+        num_partitions=8,
+    )
+    assert s2.triangle_total == triangle_count(full)
+    e.unpersist()
+
+
 def test_wcc_stream_pre_contract_kwargs(spark, tmp_path):
     """kernel_kwargs carries pre_contract(+levels) through the streaming
     warm path: the label-aware contraction composes with the per-batch
