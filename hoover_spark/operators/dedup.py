@@ -91,6 +91,31 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _check_unique_ids(df: DataFrame, id_col: str, caller: str) -> None:
+    """Opt-in duplicate-id guard (``HOOVER_SPARK_CHECK_UNIQUE_IDS=1``):
+    the fused signature kernels emit one signature row per INPUT ROW,
+    so a non-unique id column yields duplicate, divergent signature
+    rows (the pre-fusion groupBy('id') form merged them). The check is
+    one extra aggregation job, so it is off by default — enable it in
+    debug/CI runs on corpora whose id provenance is unverified."""
+    import os
+
+    if os.environ.get("HOOVER_SPARK_CHECK_UNIQUE_IDS") != "1":
+        return
+    dup = (
+        df.groupBy(F.col(id_col)).agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"{caller}: id column {id_col!r} is not unique (e.g. "
+            f"{dup[0][0]!r} appears {dup[0]['n']}x); signatures are "
+            "per-row, so duplicate ids yield divergent signature rows"
+        )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 12, k: int = 5
 ) -> DataFrame:
@@ -107,10 +132,12 @@ def minhash_signatures(
     plus a 48-expression JVM agg, ~50 s at local[32]; fused: a few
     seconds). Arithmetic is exactly the expression form
     ``min(pmod(a*code + b, HASH_P))`` — all int64, bit-identical to
-    the DuckDB oracle (hash-gate verified). Assumes ``id`` is unique
-    per row (true for every corpus table here); duplicate ids would
-    yield one signature per row rather than a merged shingle set.
+    the DuckDB oracle (hash-gate verified). PRECONDITION: ``id`` is
+    unique per row (true for every corpus table here); duplicate ids
+    would yield one signature per row rather than a merged shingle
+    set. Set ``HOOVER_SPARK_CHECK_UNIQUE_IDS=1`` to enforce.
     """
+    _check_unique_ids(df, id_col, "minhash_signatures")
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -164,7 +191,12 @@ def minhash_lsh_pairs(
     struct keys) and candidates come from a self-join on (band, key) —
     the classic banding bucket join. Buckets larger than ``max_bucket``
     are dropped (boilerplate guard; at web scale one viral page must
-    not produce a quadratic bucket)."""
+    not produce a quadratic bucket).
+
+    PRECONDITION: ``id_col`` must be unique per row — signatures are
+    per-row (see :func:`minhash_signatures`), so duplicate ids produce
+    divergent signature rows and spurious/missed pairs with no runtime
+    signal. Set ``HOOVER_SPARK_CHECK_UNIQUE_IDS=1`` to enforce."""
     assert n_hashes % band_size == 0
     # materialize the signature table once — every band branch and the
     # bucket-size filter re-reads it; without this the shingle explosion
@@ -326,7 +358,9 @@ def simhash(
     batch-concatenated mixed-hash vector — no per-shingle rows cross
     the Arrow boundary. Arithmetic is exactly the expression form
     (``(a·code + b) mod HASH_P``, bit test, signed sum, pack) —
-    hash-gate verified vs DuckDB. Assumes ``id`` unique per row."""
+    hash-gate verified vs DuckDB. PRECONDITION: ``id`` unique per row
+    (``HOOVER_SPARK_CHECK_UNIQUE_IDS=1`` enforces)."""
+    _check_unique_ids(df, id_col, "simhash")
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -374,7 +408,12 @@ def simhash_near_pairs(
 
     Candidate generation by the standard block-split trick: split the
     signature into (max_hamming+1) blocks; any pair within distance d
-    agrees on ≥1 block — equi-join per block, verify with bit_count."""
+    agrees on ≥1 block — equi-join per block, verify with bit_count.
+
+    PRECONDITION: ``id_col`` must be unique per row — signatures are
+    per-row (see :func:`simhash`), so duplicate ids produce divergent
+    signature rows with no runtime signal. Set
+    ``HOOVER_SPARK_CHECK_UNIQUE_IDS=1`` to enforce."""
     sigs = simhash(df, id_col, text_col, n_bits=n_bits).localCheckpoint()
     n_blocks = max_hamming + 1
     block_bits = n_bits // n_blocks

@@ -81,8 +81,27 @@ def pattern_counts(
     """
     e = sym_edges.select("src", "dst")
     if max_degree is not None:
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).persist()
-        n_capped = deg.where(F.col("_d") > max_degree).count()
+        from pyspark.sql.observation import Observation
+
+        # capped-vertex count rides an Observation on the ONE action
+        # that materializes the keep set (r4 ADVICE: the former
+        # deg.persist() + eager count() paid a whole extra Spark job
+        # per call just to decide whether to warn). The observe node
+        # sits above the degree agg and below the filter, so the count
+        # covers every vertex; checkpointing keep before the two
+        # semi-joins also guarantees the observed node runs exactly
+        # once (no double-count from plan reuse).
+        obs = Observation()
+        deg = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .observe(
+                obs,
+                F.sum((F.col("_d") > max_degree).cast("long")).alias("n_capped"),
+            )
+        )
+        keep = deg.where(F.col("_d") <= max_degree).select("src").localCheckpoint()
+        n_capped = obs.get["n_capped"] or 0
         if n_capped:
             # silently-approximate counts must be observable (r3 ADVICE):
             # the cap changes results vs the exact reference enumeration
@@ -96,14 +115,15 @@ def pattern_counts(
                 RuntimeWarning,
                 stacklevel=2,
             )
-        keep = deg.where(F.col("_d") <= max_degree).select("src")
         e = (
             e.join(keep, on="src", how="left_semi")
             .join(keep.withColumnRenamed("src", "dst"), on="dst", how="left_semi")
         )
     e = e.localCheckpoint()
     if max_degree is not None:
-        deg.unpersist()
+        # e's lineage is truncated by its own checkpoint — keep's
+        # blocks can go immediately rather than waiting on GC
+        keep.unpersist()
 
     nil = F.lit(None).cast("long")
     frontier = vertices.select(

@@ -282,6 +282,7 @@ def pas_simulate(
     grid_dim: int = 8,
     substeps: int = 2,
     spark: SparkSession | None = None,
+    checkpoints_out: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the coupled simulation; returns ``(agent_trace, patch_trace)``.
 
@@ -289,6 +290,12 @@ def pas_simulate(
     graph (``init_agents``, pas.cpp:219-259; patch starts at home,
     stay at 0). ``agent_trace(agent_id, t, patch, act, stay, health)``,
     ``patch_trace(patch_id, t, sv, ev, iv, nv, lh)`` cover t=0..n_steps-1.
+
+    The returned traces are unions over per-timestep localCheckpointed
+    frames; pass ``checkpoints_out=[]`` to collect those frames so a
+    long-lived caller can explicitly ``unpersist()`` the trace's RDD
+    blocks when evicting it (unpersisting the union alone frees
+    nothing — it holds no storage of its own).
     """
     spark = spark or agents0.sparkSession
     agents = agents0.select(
@@ -299,6 +306,8 @@ def pas_simulate(
         F.col("health").cast("double").alias("health"),
     ).localCheckpoint()
     patches = initial_patches(spark, grid_dim).localCheckpoint()
+    if checkpoints_out is not None:
+        checkpoints_out.extend((agents, patches))
 
     agent_traces = [agents.select("agent_id", F.lit(0).alias("t"), *_AGENT_COLS[2:])]
     patch_traces = [patches.select("patch_id", F.lit(0).alias("t"), *_PATCH_COLS[1:])]
@@ -306,6 +315,8 @@ def pas_simulate(
     for t in range(1, n_steps):
         patches_t = patch_step(patches, agents, substeps).localCheckpoint()
         agents_t = agent_step(agents, patches, t, grid_dim).localCheckpoint()
+        if checkpoints_out is not None:
+            checkpoints_out.extend((agents_t, patches_t))
         agents, patches = agents_t, patches_t
         agent_traces.append(agents.select("agent_id", F.lit(t).alias("t"), *_AGENT_COLS[2:]))
         patch_traces.append(patches.select("patch_id", F.lit(t).alias("t"), *_PATCH_COLS[1:]))

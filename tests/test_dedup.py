@@ -194,3 +194,27 @@ def test_ngram_jaccard_short_doc_heavy_corpus(spark):
         py_jaccard(d[1000], d[1001]), abs=1e-12
     )
     assert res[(5, 1000)] == 0.0       # short vs long: no shared grams
+
+
+def test_duplicate_id_guard_env_flag(spark, monkeypatch):
+    """The fused kernels emit one signature row per INPUT ROW, so a
+    non-unique id column silently diverges from the pre-fusion
+    merged-shingle-set semantics. HOOVER_SPARK_CHECK_UNIQUE_IDS=1 must
+    surface that as a hard error; unset, the documented per-row
+    precondition applies and no extra job runs."""
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (1, "totally different text here"),
+         (2, "unique row content")],
+        schema="doc_id long, text string",
+    )
+    monkeypatch.setenv("HOOVER_SPARK_CHECK_UNIQUE_IDS", "1")
+    with pytest.raises(ValueError, match="not unique"):
+        minhash_signatures(dup, "doc_id", "text").collect()
+    with pytest.raises(ValueError, match="not unique"):
+        simhash(dup, "doc_id", "text").collect()
+    # unique ids pass the guard
+    uniq = dup.groupBy("doc_id").agg(F.first("text").alias("text"))
+    assert minhash_signatures(uniq, "doc_id", "text").count() == 2
+    monkeypatch.delenv("HOOVER_SPARK_CHECK_UNIQUE_IDS")
+    # guard off: per-row semantics, one signature row per input row
+    assert minhash_signatures(dup, "doc_id", "text").count() == 3

@@ -124,7 +124,13 @@ def test_default_degree_cap_bounds_hot_vertex(spark):
     )
     verts = spark.range(n).select(F.col("id").alias("vid"))
 
-    capped = {r["matrix"]: r["count"] for r in pattern_counts(sym, verts).collect()}
+    # the cap warning must fire, and its count comes from the
+    # Observation riding the keep-set checkpoint (r4 ADVICE: no extra
+    # eager count job) — "1 vertices" is the star center
+    import pytest
+
+    with pytest.warns(RuntimeWarning, match="excluded 1 vertices"):
+        capped = {r["matrix"]: r["count"] for r in pattern_counts(sym, verts).collect()}
     # with the center dropped, every vertex is an isolated 1-vertex
     # state: exactly one pattern (empty matrix), n occurrences
     assert capped == {0: n}

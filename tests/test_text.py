@@ -131,3 +131,44 @@ def test_winnow_is_subset_invariant(spark, docs_df):
     a = {r["fp"] for r in fps if r["id"] == 10}
     b = {r["fp"] for r in fps if r["id"] == 11}
     assert a & b
+
+
+def test_code_segments_vectorized_matches_perdoc_reference():
+    """The round-5 batch-vectorized shingle kernel (one Arrow buffer
+    decode + batch-wide polynomial passes + one window gather) must be
+    bit-identical to the retained per-document reference loop on
+    nulls, empties, too-short docs, multi-byte and astral-plane
+    unicode, and single/empty batches."""
+    import numpy as np
+    import pandas as pd
+
+    from hoover_spark.functions.text import _code_segments_perdoc, code_segments
+
+    cases = [
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3, 4, 5, 6],
+                "text": [
+                    "hello world",
+                    "ab",  # shorter than every k
+                    None,
+                    "héllo wörld ✓ 𝄞𝄞𝄞 end",  # 2/3/4-byte utf-8
+                    "",
+                    "aaaaa",
+                ],
+            }
+        ),
+        pd.DataFrame({"id": [10], "text": ["exactly5"]}),
+        pd.DataFrame({"id": [], "text": pd.Series([], dtype=object)}),
+        pd.DataFrame({"id": [1, 2], "text": [None, "ab"]}),  # all invalid
+        pd.DataFrame({"id": [7, 8], "text": ["𝄞" * 12, "ascii only text here"]}),
+    ]
+    for k in (3, 5, 8):
+        for pdf in cases:
+            got = code_segments(pdf, k)
+            want = _code_segments_perdoc(pdf, k)
+            if want is None:
+                assert got is None
+                continue
+            for g, w, name in zip(got, want, ("ids", "cat", "starts")):
+                assert np.array_equal(g, w), (k, name)

@@ -59,8 +59,21 @@ def measure(n_threads: int) -> float:
     return sum(q.get() for _ in ps)
 
 
+def _median_top_half(vals: list[float]) -> float:
+    """Median of the best half of the samples — robust to steal-
+    collapsed rounds (a 2.7 GB/s sample is interference, not the box),
+    less optimistic than the single max."""
+    import statistics
+
+    top = sorted(vals, reverse=True)[: max(1, len(vals) // 2)]
+    return round(statistics.median(top), 1)
+
+
 def main() -> None:
-    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    # ≥8 interleaved rounds by default (VERDICT r4 #7: 4 samples/count
+    # with 0.6-149 GB/s swings was thin support for a headline
+    # diagnosis); report median-of-top-half alongside max.
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
     counts = (8, 16, 32)
     samples: dict[int, list[float]] = {c: [] for c in counts}
@@ -71,10 +84,13 @@ def main() -> None:
             print(f"round {r} threads {c:2d}: {gbps:7.1f} GB/s", flush=True)
     result = {
         "unit": "GB/s aggregate copy (read+write), 256 MiB/worker",
+        "rounds": rounds,
         "samples": {str(c): samples[c] for c in counts},
         "best": {str(c): max(samples[c]) for c in counts},
+        "median_top_half": {str(c): _median_top_half(samples[c]) for c in counts},
     }
-    print(json.dumps(result["best"]))
+    print(json.dumps({"best": result["best"],
+                      "median_top_half": result["median_top_half"]}))
     if out_path:
         with open(out_path, "w") as f:
             json.dump(result, f, indent=2)
