@@ -55,6 +55,7 @@ def pagerank(
     initial_ranks: DataFrame | None = None,
     n_vertices: int | None = None,
     initial_rank_sum: float | None = None,
+    unroll: int = 1,
 ) -> DataFrame:
     """Return ``(vid: long, rank: double)``; ranks sum to 1.
 
@@ -79,6 +80,36 @@ def pagerank(
     ``loop.kernel_state["rank_sum"]`` (measured by the per-iteration
     Observation — no extra job); the streaming path feeds it back as
     the next batch's ``initial_rank_sum`` numerator.
+
+    ``unroll > 1`` executes that many iterations per Spark job
+    (Pregel-style checkpoint interval): the u steps chain lazily and
+    ONE chunk-end localCheckpoint materializes them, so u-1 action
+    round-trips and u-1 O(|V|) state materializations disappear per
+    chunk. Two things make this sound:
+
+    - the dangling mass for interior steps (a scalar the NEXT step's
+      rank update needs, previously a Python float off the previous
+      job's Observation) is computed IN-PLAN: dangling vertices emit
+      their rank into the SAME contribution shuffle under a NULL dst
+      (a group no real vid joins), and a 1-row aggregate over that
+      reused exchange is broadcast back into the step — no second
+      traversal of the state;
+    - per-iteration lineage metrics (north rule) survive exactly: each
+      step's rank and message count ride the chunk as carried columns
+      (``_r{s}``/``_m{s}``) and the chunk-end Observation computes
+      every step's delta / active frontier / rows shuffled in the same
+      action (per-step wall is the chunk wall amortized).
+
+    Interior-step state is re-derived (not materialized) by the two
+    downstream exchanges that consume it — shuffle reuse bounds that
+    at ~2x join CPU per step, which the saved barriers repay with
+    interest at small per-iteration walls (the regime every converging
+    PageRank *ends* in even at 100 TB: late iterations are
+    barrier-dominated as deltas localize). In tol mode convergence is
+    checked at chunk ends, so up to ``unroll - 1`` extra iterations may
+    run past the crossing — they only tighten the answer. With
+    ``unroll=1`` the plan and floats are exactly the classic
+    one-job-per-iteration loop.
     """
     spark = spark or graph.edges.sparkSession
     loop = loop or IterationLoop(
@@ -152,75 +183,119 @@ def pagerank(
     dangling = float(init_stats["dangling"] or 0.0)
 
     base = (1.0 - alpha) / n
+    unroll = max(1, int(unroll))
     it = start_iter
     watch = StopWatch()
     while it < loop.max_iterations:
-        it += 1
+        steps = min(unroll, loop.max_iterations - it)
 
-        wsrc = state.where(F.col("out_deg").isNotNull()).select(
-            F.col("vid").alias("src"),
-            (F.col("rank") / F.col("out_deg")).alias("w"),
-        )
-        contribs = None
-        for v in edge_views:
-            c = v.join(wsrc, on="src").select("dst", "w")
-            contribs = c if contribs is None else contribs.unionByName(c)
+        # chunk of `steps` lazily-chained iterations; carried columns
+        # _r0.._r{steps} (per-step ranks) and _m1.._m{steps} (per-step
+        # message counts) feed the chunk-end Observation
+        cur = state.select("vid", "out_deg", F.col("rank").alias("_r0"))
+        for s in range(1, steps + 1):
+            prev_rank = F.col(f"_r{s - 1}")
+            wsrc = cur.where(F.col("out_deg").isNotNull()).select(
+                F.col("vid").alias("src"),
+                (prev_rank / F.col("out_deg")).alias("w"),
+            )
+            contribs = None
+            for v in edge_views:
+                c = v.join(wsrc, on="src").select("dst", "w")
+                contribs = c if contribs is None else contribs.unionByName(c)
 
-        if salt_buckets > 0:
-            salted = with_salt(contribs, salt_buckets, cols=["w"])
-            partial = salted.groupBy("dst", "salt").agg(
-                F.sum("w").alias("_w"), F.count(F.lit(1)).alias("_c")
-            )
-            sums = partial.groupBy("dst").agg(
-                F.sum("_w").alias("in_sum"), F.sum("_c").alias("msg_cnt")
-            )
-        else:
-            sums = contribs.groupBy("dst").agg(
-                F.sum("w").alias("in_sum"), F.count(F.lit(1)).alias("msg_cnt")
-            )
+            if s == 1:
+                # first step's dangling mass is a known scalar (the
+                # previous chunk's Observation / the init aggregate)
+                dang_per_n = F.lit(dangling / n)
+            else:
+                # interior steps: route the dangling ranks through the
+                # SAME shuffle under a NULL dst — the null group never
+                # equi-joins a vid, and the 1-row aggregate below reads
+                # the already-built (reused) exchange, so the scalar
+                # costs no second pass over the state
+                dang_rows = cur.where(F.col("out_deg").isNull()).select(
+                    F.lit(None).cast("long").alias("dst"),
+                    prev_rank.alias("w"),
+                )
+                contribs = contribs.unionByName(dang_rows)
 
-        stepped = (
-            state.join(sums.withColumnRenamed("dst", "vid"), on="vid", how="left")
-            .select(
-                "vid",
-                "out_deg",
-                F.col("rank").alias("prev_rank"),
+            if salt_buckets > 0:
+                salted = with_salt(contribs, salt_buckets, cols=["w"])
+                partial = salted.groupBy("dst", "salt").agg(
+                    F.sum("w").alias("_w"), F.count(F.lit(1)).alias("_c")
+                )
+                sums = partial.groupBy("dst").agg(
+                    F.sum("_w").alias("in_sum"), F.sum("_c").alias("msg_cnt")
+                )
+            else:
+                sums = contribs.groupBy("dst").agg(
+                    F.sum("w").alias("in_sum"), F.count(F.lit(1)).alias("msg_cnt")
+                )
+
+            joined = cur.join(
+                sums.withColumnRenamed("dst", "vid"), on="vid", how="left"
+            )
+            if s > 1:
+                dang_df = (
+                    sums.where(F.col("dst").isNull())
+                    .agg(F.coalesce(F.sum("in_sum"), F.lit(0.0)).alias("_D"))
+                )
+                joined = joined.crossJoin(F.broadcast(dang_df))
+                dang_per_n = F.col("_D") / F.lit(float(n))
+
+            keep = (
+                ["vid", "out_deg"]
+                + [f"_r{j}" for j in range(s)]
+                + [f"_m{j}" for j in range(1, s)]
+            )
+            cur = joined.select(
+                *keep,
                 (
                     F.lit(base)
                     + F.lit(alpha)
-                    * (F.coalesce("in_sum", F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("rank"),
-                F.coalesce("msg_cnt", F.lit(0)).alias("msg_cnt"),
+                    * (F.coalesce("in_sum", F.lit(0.0)) + dang_per_n)
+                ).alias(f"_r{s}"),
+                F.coalesce("msg_cnt", F.lit(0)).alias(f"_m{s}"),
             )
-        )
+
         # materialize + stats in ONE action (Observation riding the
-        # eager localCheckpoint): convergence delta, active set,
-        # messages shuffled, and NEXT iteration's dangling mass — one
-        # Spark job per iteration, no separate stats job/barrier.
-        new_state, stats = loop.hold_observed(
-            stepped,
-            F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
-            F.sum((F.abs(F.col("rank") - F.col("prev_rank")) > tol).cast("long")).alias(
-                "active"
-            ),
-            F.sum("msg_cnt").alias("shuffled"),
+        # eager localCheckpoint): every step's convergence delta,
+        # active set and messages shuffled, plus the NEXT chunk's
+        # dangling mass — one Spark job per `steps` iterations.
+        obs_exprs = []
+        for s in range(1, steps + 1):
+            d = F.abs(F.col(f"_r{s}") - F.col(f"_r{s - 1}"))
+            obs_exprs += [
+                F.max(d).alias(f"delta_{s}"),
+                F.sum((d > tol).cast("long")).alias(f"active_{s}"),
+                F.sum(f"_m{s}").alias(f"shuffled_{s}"),
+            ]
+        last = f"_r{steps}"
+        obs_exprs += [
             F.sum(
-                F.when(F.col("out_deg").isNull(), F.col("rank")).otherwise(F.lit(0.0))
+                F.when(F.col("out_deg").isNull(), F.col(last)).otherwise(F.lit(0.0))
             ).alias("next_dangling"),
-            F.sum("rank").alias("rank_sum"),
-        )
-        delta = float(stats["delta"] or 0.0)
+            F.sum(last).alias("rank_sum"),
+        ]
+        new_state, stats = loop.hold_observed(cur, *obs_exprs)
+
+        chunk_wall = watch.lap_ms()
+        delta = 0.0
+        for s in range(1, steps + 1):
+            it += 1
+            delta = float(stats[f"delta_{s}"] or 0.0)
+            loop.log(
+                iteration=it,
+                rows_shuffled=int(stats[f"shuffled_{s}"] or 0),
+                delta_norm=delta,
+                frontier_size=int(stats[f"active_{s}"] or 0),
+                wall_ms=chunk_wall / steps,
+            )
         dangling = float(stats["next_dangling"] or 0.0)
         loop.kernel_state["rank_sum"] = float(stats["rank_sum"] or 0.0)
-        loop.log(
-            iteration=it,
-            rows_shuffled=int(stats["shuffled"] or 0),
-            delta_norm=delta,
-            frontier_size=int(stats["active"] or 0),
-            wall_ms=watch.lap_ms(),
-        )
 
-        state = new_state.select("vid", "out_deg", "rank")
+        state = new_state.select("vid", "out_deg", F.col(last).alias("rank"))
         proj = state.select("vid", "rank")
         saved = loop.save_state(proj, it)
         if saved is not proj:
