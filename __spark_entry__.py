@@ -179,10 +179,7 @@ def q_wcc_sizes(spark, sf_dir):
 
 def q_pagerank_3iter(spark, sf_dir):
     g = Graph(_order_part_edges(spark, sf_dir))
-    # unroll=3: all three iterations chain into ONE Spark job (in-plan
-    # dangling via the null-dst shuffle group); ranks match the
-    # one-job-per-iteration loop to a float ULP, far under round(6)
-    pr = pagerank(g, spark=spark, n_iterations=3, unroll=3)
+    pr = pagerank(g, spark=spark, n_iterations=3)
     return pr.select("vid", F.round("rank", 6).alias("rank"))
 
 

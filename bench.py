@@ -146,13 +146,14 @@ def main() -> None:
         state["graph"] = g
 
     def q_pagerank():
-        # unroll=3: three iterations per Spark job (chunk-end
-        # Observation carries per-step metrics) — cuts the per-
-        # iteration scheduling floor 3x; convergence is checked at
-        # chunk ends (at most 2 overshoot iterations, counted in
-        # pagerank_iters so edges/sec stays honest)
+        # unroll=1 deliberately: the r5 A/B at this exact scale
+        # (3 interleaved reps each) measured unroll=2 at 18.9 s and
+        # unroll=3 at 25.3 s vs 16.0/17.3 s for unroll=1 — the interior
+        # steps' un-materialized state diamond (messages + rank join)
+        # recomputes under the chunk plan and costs more than the
+        # saved per-iteration barriers on local[32]. See BENCH.md r5.
         loop = IterationLoop(spark, kernel="pagerank", max_iterations=200)
-        pagerank(state["graph"], spark=spark, tol=1e-6, loop=loop, unroll=3).count()
+        pagerank(state["graph"], spark=spark, tol=1e-6, loop=loop).count()
         extras["pagerank_iters"] = len(loop.metrics)
 
     def q_wcc():

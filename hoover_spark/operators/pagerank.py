@@ -101,15 +101,22 @@ def pagerank(
       action (per-step wall is the chunk wall amortized).
 
     Interior-step state is re-derived (not materialized) by the two
-    downstream exchanges that consume it — shuffle reuse bounds that
-    at ~2x join CPU per step, which the saved barriers repay with
-    interest at small per-iteration walls (the regime every converging
-    PageRank *ends* in even at 100 TB: late iterations are
-    barrier-dominated as deltas localize). In tol mode convergence is
-    checked at chunk ends, so up to ``unroll - 1`` extra iterations may
-    run past the crossing — they only tighten the answer. With
-    ``unroll=1`` the plan and floats are exactly the classic
-    one-job-per-iteration loop.
+    downstream consumers that need it (the message join and the rank
+    update join) — an inherent diamond of the vertex-centric step.
+    MEASURED VERDICT (r5, sf0.1 repo graph, local[32], 3 interleaved
+    reps each): that recompute costs MORE than the saved barriers —
+    unroll=2 median 18.9 s and unroll=3 median 25.3 s vs 16.0/17.3 s
+    for unroll=1 (see BENCH.md) — so every headline/contract caller
+    uses the default ``unroll=1``, whose plan and floats are exactly
+    the classic one-job-per-iteration loop. The knob is kept (correct
+    by construction: ranks within one float ULP, per-iteration metrics
+    exact, tested in ``test_unroll_parity_and_metrics``) for regimes
+    where the barrier term genuinely dominates the recompute term —
+    e.g. a high-latency driver/scheduler or tiny warm re-convergence
+    states — but it must be adopted by measurement, not assumption.
+    In tol mode convergence is checked at chunk ends, so up to
+    ``unroll - 1`` extra iterations may run past the crossing — they
+    only tighten the answer.
     """
     spark = spark or graph.edges.sparkSession
     loop = loop or IterationLoop(

@@ -55,6 +55,7 @@ def wcc(
     pre_contract: bool = False,
     pre_contract_levels: int = 1,
     track_changes: bool = False,
+    unroll: int = 1,
 ) -> DataFrame:
     """Return ``(vid: long, label: long)`` — label = min vid in component.
 
@@ -139,6 +140,27 @@ def wcc(
     carried through the rounds and a zero-shuffle filter at the end —
     no extra joins or jobs (labels are monotone non-increasing, so the
     final-vs-initial comparison needs no per-round bookkeeping).
+
+    ``unroll > 1`` chains that many hash-min rounds into ONE Spark job
+    (Pregel-style checkpoint interval, same shape as
+    :func:`~hoover_spark.operators.pagerank.pagerank`'s ``unroll``):
+    interior rounds derive their frontier in-plan (rows whose carried
+    per-step label dropped), and the chunk-end Observation computes
+    every round's changed/shuffled/jump-gain metrics from the carried
+    columns, so per-iteration lineage is exact. The pointer-jump
+    lookup pins to the CHUNK-START materialized state for all rounds
+    of a chunk (a lookup against any older state is still a component
+    member ≤ the key — monotone-exact, slightly less compression,
+    never wrong). Convergence is detected at chunk ends; overshoot
+    rounds past a fixpoint are no-ops on an empty frontier (hash-min
+    is idempotent at the fixpoint). MEASURED VERDICT (r5, sf0.1 repo
+    graph with the 3-level contraction seed, local[32], 3 interleaved
+    reps each): a wash — unroll=2 median 17.2 s / unroll=3 18.7 s vs
+    18.1 s for unroll=1 (see BENCH.md): the saved barriers roughly
+    cancel against re-deriving the un-materialized interior state for
+    its two consumers, so the headline keeps the default ``unroll=1``
+    (plan-identical to the classic loop) and the knob stays available
+    for barrier-dominated regimes, adopted by measurement only.
     """
     # identity checks: `1 in (True, ...)` is True in Python (1 == True),
     # which would defeat the point of rejecting truthy non-bools
@@ -299,83 +321,111 @@ def wcc(
     n_vertices = None
 
     carry = ["l0"] if track_changes else []
+    unroll = max(1, int(unroll))
     it = start_iter
     watch = StopWatch()
     while it < loop.max_iterations:
-        it += 1
-        # 1. neighbor-min over the frontier only (delta processing) —
-        #    one join per edge view, small outputs unioned.
-        fsrc = frontier.select(F.col("vid").alias("src"), "label")
-        msgs = None
-        for v in edge_views:
-            m = v.join(fsrc, on="src").select(F.col("dst").alias("vid"), "label")
-            msgs = m if msgs is None else msgs.unionByName(m)
-        mins = msgs.groupBy("vid").agg(
-            F.min("label").alias("msg_label"), F.count(F.lit(1)).alias("msg_cnt")
-        )
-        stepped = (
-            labels.join(mins, on="vid", how="left")
-            .select(
-                "vid",
-                F.col("label").alias("prev_label"),
-                F.least("label", F.coalesce("msg_label", "label")).alias("label"),
-                F.coalesce("msg_cnt", F.lit(0)).alias("msg_cnt"),
-                *carry,
-            )
-        )
+        steps = min(unroll, loop.max_iterations - it)
 
-        # 2. pointer jumping: label <- min(label, label_prev(label)).
-        if jump_enabled:
-            # the lookup side is LAST round's materialized state, not
-            # this round's `stepped` — a self-join on `stepped` would
-            # either recompute the message join + min-agg subtree
-            # (exchange reuse is not guaranteed under AQE) or cost an
-            # extra materialization job per round. Last round's label
-            # for any vertex id m is a component member ≤ m (labels
-            # are monotone non-increasing and start ≤ vid), so the
-            # shortcut stays monotone-exact; it telescopes the same
-            # way (each round's pointers compress via the accumulated
-            # shortcuts of the previous round).
-            lookup = labels.select(
-                F.col("vid").alias("j_vid"), F.col("label").alias("j_label")
-            )
-            stepped = (
-                stepped.join(lookup, stepped.label == lookup.j_vid, "left")
-                .select(
-                    "vid",
-                    "prev_label",
-                    F.col("label").alias("step_label"),
-                    F.least("label", F.coalesce("j_label", "label")).alias("label"),
-                    "msg_cnt",
-                    *carry,
+        # Chunk of `steps` lazily-chained rounds. Carried columns:
+        # _lb0.._lb{steps} per-round labels, _sl{s} pre-jump labels,
+        # _m{s} per-round message counts — all feed the chunk-end
+        # Observation so per-iteration lineage metrics stay exact.
+        # The jump lookup pins to the chunk-start MATERIALIZED state
+        # for every round of the chunk: a label from any older state
+        # is a component member ≤ the key (labels are monotone
+        # non-increasing and start ≤ vid), so the shortcut stays
+        # monotone-exact — and the lookup side never recomputes
+        # in-chunk subtrees.
+        lookup = labels.select(
+            F.col("vid").alias("j_vid"), F.col("label").alias("j_label")
+        )
+        cur = labels.select("vid", F.col("label").alias("_lb0"), *carry)
+        for s in range(1, steps + 1):
+            prev = f"_lb{s - 1}"
+            # 1. neighbor-min over the frontier only (delta
+            #    processing) — one join per edge view, small outputs
+            #    unioned. Interior rounds derive the frontier in-plan
+            #    from the carried labels.
+            if s == 1:
+                fsrc = frontier.select(F.col("vid").alias("src"), "label")
+            else:
+                fsrc = cur.where(F.col(prev) < F.col(f"_lb{s - 2}")).select(
+                    F.col("vid").alias("src"), F.col(prev).alias("label")
                 )
+            msgs = None
+            for v in edge_views:
+                m = v.join(fsrc, on="src").select(
+                    F.col("dst").alias("vid"), "label"
+                )
+                msgs = m if msgs is None else msgs.unionByName(m)
+            mins = msgs.groupBy("vid").agg(
+                F.min("label").alias("msg_label"), F.count(F.lit(1)).alias("msg_cnt")
             )
-        else:
-            stepped = stepped.withColumn("step_label", F.col("label"))
+            keep = (
+                ["vid"]
+                + carry
+                + [f"_lb{j}" for j in range(s)]
+                + [f"_sl{j}" for j in range(1, s)]
+                + [f"_m{j}" for j in range(1, s)]
+            )
+            stepped = cur.join(mins, on="vid", how="left").select(
+                *keep,
+                F.least(
+                    F.col(prev), F.coalesce("msg_label", F.col(prev))
+                ).alias(f"_sl{s}"),
+                F.coalesce("msg_cnt", F.lit(0)).alias(f"_m{s}"),
+            )
+
+            # 2. pointer jumping: label <- min(label, lookup(label)).
+            if jump_enabled:
+                stepped = stepped.join(
+                    lookup, stepped[f"_sl{s}"] == lookup.j_vid, "left"
+                ).select(
+                    *keep,
+                    f"_sl{s}",
+                    f"_m{s}",
+                    F.least(
+                        F.col(f"_sl{s}"),
+                        F.coalesce("j_label", F.col(f"_sl{s}")),
+                    ).alias(f"_lb{s}"),
+                )
+            else:
+                stepped = stepped.withColumn(f"_lb{s}", F.col(f"_sl{s}"))
+            cur = stepped
 
         # 3. materialize + one-pass stats in the SAME action (the
-        #    Observation rides the eager localCheckpoint): frontier
-        #    size, messages shuffled, and how much the jump step
-        #    contributed (for adaptive disable). One Spark job per
-        #    round, total.
-        new_labels, stats = loop.hold_observed(
-            stepped,
-            F.sum((F.col("label") < F.col("prev_label")).cast("long")).alias("changed"),
-            F.sum("msg_cnt").alias("shuffled"),
-            F.sum((F.col("label") < F.col("step_label")).cast("long")).alias("jump_gain"),
-            F.count(F.lit(1)).alias("total"),
-        )
-        changed = int(stats["changed"] or 0)
-        shuffled = int(stats["shuffled"] or 0)
-        jump_gain = int(stats["jump_gain"] or 0)
+        #    Observation rides the eager localCheckpoint): every
+        #    round's frontier size, messages shuffled, and jump
+        #    contribution — one Spark job per `steps` rounds, total.
+        obs_exprs = []
+        for s in range(1, steps + 1):
+            obs_exprs += [
+                F.sum(
+                    (F.col(f"_lb{s}") < F.col(f"_lb{s - 1}")).cast("long")
+                ).alias(f"changed_{s}"),
+                F.sum(f"_m{s}").alias(f"shuffled_{s}"),
+                F.sum(
+                    (F.col(f"_lb{s}") < F.col(f"_sl{s}")).cast("long")
+                ).alias(f"jump_gain_{s}"),
+            ]
+        obs_exprs.append(F.count(F.lit(1)).alias("total"))
+        new_labels, stats = loop.hold_observed(cur, *obs_exprs)
+
+        chunk_wall = watch.lap_ms()
+        changed = 0
+        for s in range(1, steps + 1):
+            it += 1
+            changed = int(stats[f"changed_{s}"] or 0)
+            loop.log(
+                iteration=it,
+                rows_shuffled=int(stats[f"shuffled_{s}"] or 0),
+                delta_norm=float(changed),
+                frontier_size=changed,
+                wall_ms=chunk_wall / steps,
+            )
+        jump_gain = int(stats[f"jump_gain_{steps}"] or 0)
         n_vertices = int(stats["total"] or 0)
-        loop.log(
-            iteration=it,
-            rows_shuffled=shuffled,
-            delta_norm=float(changed),
-            frontier_size=changed,
-            wall_ms=watch.lap_ms(),
-        )
         if adaptive_jump:
             if jump_enabled and jump_gain == 0:
                 # the remaining chains are exhausted; the rest is pure
@@ -391,13 +441,14 @@ def wcc(
                 # self-join is cheap — compress them
                 jump_enabled = True
 
-        labels = new_labels.select("vid", "label", *carry)
+        last = f"_lb{steps}"
+        labels = new_labels.select("vid", F.col(last).alias("label"), *carry)
         labels = loop.save_state(labels, it)
         if changed == 0:
             break
-        frontier = new_labels.where(F.col("label") < F.col("prev_label")).select(
-            "vid", "label"
-        )
+        frontier = new_labels.where(
+            F.col(last) < F.col(f"_lb{steps - 1}")
+        ).select("vid", F.col(last).alias("label"))
 
     loop.kernel_state["n_vertices"] = n_vertices
     if track_changes:

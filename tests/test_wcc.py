@@ -250,3 +250,30 @@ def test_multi_level_pre_contract_matches_and_cuts_rounds(spark):
     g = path_graph(spark, 257)
     got = labels_of(wcc(g, pre_contract=True, pre_contract_levels=3))
     assert got == {v: 0 for v in range(257)}
+
+
+def test_unroll_matches_classic_loop(spark):
+    """unroll=3 (three hash-min rounds per Spark job: in-plan interior
+    frontiers, chunk-start jump lookup, per-round metrics off one
+    chunk-end Observation) must converge to the exact same labels as
+    the one-job-per-round loop in every jump mode, including with the
+    multi-level contraction seed."""
+    from hoover_spark.plans.iteration import IterationLoop
+
+    g = rmat_graph(spark, scale=7, edge_factor=3)
+    want = labels_of(wcc(g, pointer_jumping=False))
+    for jump in (True, False, "auto"):
+        got = labels_of(wcc(g, pointer_jumping=jump, unroll=3))
+        assert got == want, f"jump={jump}"
+    lc = IterationLoop(spark, "wcc", max_iterations=100)
+    got = labels_of(
+        wcc(g, pointer_jumping=True, pre_contract=True,
+            pre_contract_levels=2, unroll=3, loop=lc)
+    )
+    assert got == want
+    # per-round lineage metrics still one entry per ROUND (north rule),
+    # not per chunk
+    assert len(lc.metrics) >= 1
+    assert all(m["kernel"] == "wcc" for m in lc.metrics)
+    # monotone frontier tail: the final logged round is the fixpoint
+    assert lc.metrics[-1]["frontier_size"] == 0
