@@ -139,3 +139,31 @@ def test_triangle_count_matches_bruteforce(spark, pairs):
 
     edges = spark.createDataFrame(pairs, schema="src long, dst long")
     assert triangle_count(Graph(edges)) == triangle_count_oracle(pairs)
+
+
+@given(
+    texts=st.lists(
+        st.one_of(st.none(), unicode_text), min_size=1, max_size=12
+    ),
+    k=st.integers(2, 7),
+)
+@SETTINGS
+def test_code_segments_batch_kernel_matches_perdoc(texts, k):
+    """The r5 batch-vectorized shingle kernel (single Arrow utf-8
+    buffer → one utf-32 decode, continuation-byte offset cumsum,
+    cross-document window gather) is bit-identical to the per-document
+    reference loop on arbitrary unicode + null mixes — a pure pandas
+    property, so hypothesis samples far wider than the Spark oracles."""
+    import numpy as np
+    import pandas as pd
+
+    from hoover_spark.functions.text import _code_segments_perdoc, code_segments
+
+    pdf = pd.DataFrame({"id": list(range(len(texts))), "text": texts})
+    got = code_segments(pdf, k)
+    want = _code_segments_perdoc(pdf, k)
+    if want is None:
+        assert got is None
+        return
+    for g, w, name in zip(got, want, ("ids", "cat", "starts")):
+        assert np.array_equal(g, w), name
