@@ -193,6 +193,25 @@ def q_mode_lp_1iter(spark, sf_dir):
     return mode_label_propagation(g, n_iterations=1).select("vid", "label")
 
 
+def q_hits_2iter(spark, sf_dir):
+    from hoover_spark.operators.hits import hits
+
+    g = Graph(_order_part_edges(spark, sf_dir))
+    out = hits(g, n_iterations=2)
+    return out.select(
+        "vid", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def q_kcore_3(spark, sf_dir):
+    from hoover_spark.operators.kcore import kcore
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return kcore(g, k=3).select(
+        "vid", F.col("core_degree").cast("long").alias("core_degree")
+    )
+
+
 def q_triangle_total(spark, sf_dir):
     g = Graph(_customer_edges(spark, sf_dir))
     e = oriented_edges(g)
@@ -944,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_sizes": q_wcc_sizes,
         "pagerank_3iter": q_pagerank_3iter,
         "minlabel_2iter": q_minlabel_2iter,
+        "hits_2iter": q_hits_2iter,
+        "kcore_3": q_kcore_3,
         "mode_lp_1iter": q_mode_lp_1iter,
         "triangle_total": q_triangle_total,
         "triangles_per_vertex": q_triangles_per_vertex,
@@ -1060,6 +1081,57 @@ deg AS (SELECT src AS vid, count(*) AS od FROM e0 GROUP BY 1),
 r0 AS (SELECT vid, 1.0 / (SELECT n FROM nn) AS rank FROM v),
 {','.join(iters)}
 SELECT vid, round(rank, 6) AS rank FROM r3
+"""
+
+
+def _hits_sql(n_iterations: int = 2) -> str:
+    """Unrolled Kleinberg HITS on the order→part graph (same fixed
+    iteration count as :func:`q_hits_2iter`; L2 norm each half-step)."""
+    ctes = ["h0 AS (SELECT vid, 1.0 AS hub FROM v)"]
+    prev_h = "h0"
+    for i in range(1, n_iterations + 1):
+        ctes.append(f"""
+a{i}s AS (SELECT e0.dst AS vid, sum({prev_h}.hub) AS s
+          FROM e0 JOIN {prev_h} ON e0.src = {prev_h}.vid GROUP BY 1),
+a{i}f AS (SELECT v.vid, coalesce(a{i}s.s, 0) AS auth FROM v LEFT JOIN a{i}s ON v.vid = a{i}s.vid),
+a{i}n AS (SELECT sqrt(sum(auth * auth)) AS nrm FROM a{i}f),
+a{i} AS (SELECT vid, CASE WHEN (SELECT nrm FROM a{i}n) > 0
+                          THEN auth / (SELECT nrm FROM a{i}n) ELSE 0.0 END AS auth FROM a{i}f),
+h{i}s AS (SELECT e0.src AS vid, sum(a{i}.auth) AS s
+          FROM e0 JOIN a{i} ON e0.dst = a{i}.vid GROUP BY 1),
+h{i}f AS (SELECT v.vid, coalesce(h{i}s.s, 0) AS hub FROM v LEFT JOIN h{i}s ON v.vid = h{i}s.vid),
+h{i}n AS (SELECT sqrt(sum(hub * hub)) AS nrm FROM h{i}f),
+h{i} AS (SELECT vid, CASE WHEN (SELECT nrm FROM h{i}n) > 0
+                          THEN hub / (SELECT nrm FROM h{i}n) ELSE 0.0 END AS hub FROM h{i}f)""")
+        prev_h = f"h{i}"
+    k = n_iterations
+    return f"""
+WITH {_ORDER_PART_EDGES_SQL},
+{','.join(ctes)}
+SELECT h{k}.vid, round(h{k}.hub, 6) AS hub, round(a{k}.auth, 6) AS auth
+FROM h{k} JOIN a{k} ON h{k}.vid = a{k}.vid
+"""
+
+
+def _kcore_sql(k: int = 3, rounds: int = 10) -> str:
+    """Unrolled k-core peeling on the customer graph. Peeling is
+    monotone, so unrolling past the fixpoint is a no-op: sf0.01
+    converges in 3 rounds, ``rounds=10`` leaves 3x margin.
+
+    Each ``a{{r}}`` is referenced twice by round r+1; DuckDB inlines
+    CTEs by default, so without MATERIALIZED the plan re-evaluates the
+    whole chain 2^rounds times (measured: >5 min at sf0.01)."""
+    ctes = ["a0 AS MATERIALIZED (SELECT vid FROM v)"]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+d{r} AS (SELECT s.src AS vid, count(*) AS cd
+         FROM sym s JOIN a{r - 1} x ON s.src = x.vid
+                    JOIN a{r - 1} y ON s.dst = y.vid GROUP BY 1),
+a{r} AS MATERIALIZED (SELECT vid, cd FROM d{r} WHERE cd >= {k})""")
+    return f"""
+WITH {_CUSTOMER_EDGES_SQL},
+{','.join(ctes)}
+SELECT vid, cd AS core_degree FROM a{rounds}
 """
 
 
@@ -1213,6 +1285,8 @@ labels AS (SELECT vid, min(r) AS label FROM reach GROUP BY vid)
 SELECT label AS component, count(*) AS size FROM labels GROUP BY 1
 """,
         "pagerank_3iter": _pagerank_sql(),
+        "hits_2iter": _hits_sql(),
+        "kcore_3": _kcore_sql(),
         "minlabel_2iter": f"""
 WITH {_EVENTS_EDGES_SQL},
 l0 AS (SELECT vid, vid AS label FROM v),

@@ -151,3 +151,44 @@ def mode_label_propagation_oracle(
             new[v] = best[0]
         labels = new
     return labels
+
+
+def hits_oracle(
+    pairs: list[tuple[int, int]], n_iterations: int
+) -> tuple[dict[int, float], dict[int, float]]:
+    """Synchronous Kleinberg HITS with L2 normalization per half-step;
+    returns (hub, auth) dicts over every vertex."""
+    import math
+
+    verts = sorted({v for e in pairs for v in e})
+    hub = {v: 1.0 for v in verts}
+    auth = {v: 1.0 for v in verts}
+    for _ in range(n_iterations):
+        auth = {v: 0.0 for v in verts}
+        for s, d in pairs:
+            auth[d] += hub[s]
+        n = math.sqrt(sum(x * x for x in auth.values()))
+        auth = {v: (x / n if n > 0 else 0.0) for v, x in auth.items()}
+        hub = {v: 0.0 for v in verts}
+        for s, d in pairs:
+            hub[s] += auth[d]
+        n = math.sqrt(sum(x * x for x in hub.values()))
+        hub = {v: (x / n if n > 0 else 0.0) for v, x in hub.items()}
+    return hub, auth
+
+
+def kcore_oracle(pairs: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """Peel to the k-core; returns {vid: in-core degree} for survivors."""
+    adj: dict[int, set[int]] = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    alive = set(adj)
+    while True:
+        deg = {v: len(adj[v] & alive) for v in alive}
+        drop = {v for v, dv in deg.items() if dv < k}
+        if not drop:
+            return {v: deg[v] for v in alive}
+        alive -= drop
+        if not alive:
+            return {}
