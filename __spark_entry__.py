@@ -142,6 +142,47 @@ _ORDER_PART_EDGES_SQL = """
 """
 
 
+def _circulant_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-rich circulant graph on customer keys — x → (x+d) mod N
+    for d ∈ {1,2,3} (undirected min support 2: every edge closes with
+    its short-offset neighbors) plus sparse chords x → (x+7) mod N for
+    x % 5 == 0, which sit in no triangle. The customer modular graph is
+    triangle-free at the driver SFs, so truss peeling needs this one:
+    the 4-truss keeps exactly the circulant and peels exactly the
+    chords."""
+    cust = _t(spark, sf_dir, "customer")
+    n = cust.count()
+    k = F.col("c_custkey")
+    e = None
+    for d in (1, 2, 3):
+        part = cust.select(k.alias("src"), F.pmod(k + d, F.lit(n)).alias("dst"))
+        e = part if e is None else e.unionByName(part)
+    chords = cust.where(k % 5 == 0).select(
+        k.alias("src"), F.pmod(k + 7, F.lit(n)).alias("dst")
+    )
+    return (
+        e.unionByName(chords).where(F.col("src") != F.col("dst")).distinct()
+    )
+
+
+_CIRCULANT_EDGES_SQL = """
+  cn AS (SELECT count(*) AS n FROM customer),
+  e0 AS (
+    SELECT src, dst FROM (
+      SELECT c_custkey AS src, (c_custkey+1) % (SELECT n FROM cn) AS dst FROM customer
+      UNION
+      SELECT c_custkey AS src, (c_custkey+2) % (SELECT n FROM cn) AS dst FROM customer
+      UNION
+      SELECT c_custkey AS src, (c_custkey+3) % (SELECT n FROM cn) AS dst FROM customer
+      UNION
+      SELECT c_custkey AS src, (c_custkey+7) % (SELECT n FROM cn) AS dst FROM customer
+      WHERE c_custkey % 5 = 0
+    ) WHERE src <> dst
+  ),
+  canon AS (SELECT DISTINCT least(src,dst) AS src, greatest(src,dst) AS dst FROM e0)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Spark-side query callables
 # ---------------------------------------------------------------------------
@@ -209,6 +250,39 @@ def q_kcore_3(spark, sf_dir):
     g = Graph(_customer_edges(spark, sf_dir))
     return kcore(g, k=3).select(
         "vid", F.col("core_degree").cast("long").alias("core_degree")
+    )
+
+
+def q_ppr_3iter(spark, sf_dir):
+    from hoover_spark.operators.ppr import personalized_pagerank
+
+    g = Graph(_order_part_edges(spark, sf_dir))
+    seeds = g.vertices().where(
+        (F.col("vid") % 97 == 0) & (F.col("vid") < 1_000_000)
+    )
+    out = personalized_pagerank(g, seeds, n_iterations=3)
+    return out.select("vid", F.round("rank", 6).alias("rank"))
+
+
+def q_ktruss_4(spark, sf_dir):
+    from hoover_spark.operators.ktruss import ktruss
+
+    g = Graph(_circulant_edges(spark, sf_dir))
+    return ktruss(g, k=4).select(
+        "src", "dst", F.col("support").cast("long").alias("support")
+    )
+
+
+def q_tfidf_top3(spark, sf_dir):
+    from hoover_spark.functions.text import tf_idf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tf_idf_top_terms(docs, "doc_id", "text", top_k=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "term",
+        "score",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -965,6 +1039,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minlabel_2iter": q_minlabel_2iter,
         "hits_2iter": q_hits_2iter,
         "kcore_3": q_kcore_3,
+        "ppr_3iter": q_ppr_3iter,
+        "ktruss_4": q_ktruss_4,
+        "tfidf_top3": q_tfidf_top3,
         "mode_lp_1iter": q_mode_lp_1iter,
         "triangle_total": q_triangle_total,
         "triangles_per_vertex": q_triangles_per_vertex,
@@ -1135,6 +1212,67 @@ SELECT vid, cd AS core_degree FROM a{rounds}
 """
 
 
+def _ppr_sql(alpha: float = 0.85, n_iterations: int = 3) -> str:
+    """Unrolled personalized PageRank on the order→part graph; seeds
+    and dangling redistribution both use the restart vector ``p``
+    (same fixed iteration count as :func:`q_ppr_3iter`)."""
+    iters = []
+    prev = "r0"
+    for i in range(1, n_iterations + 1):
+        iters.append(f"""
+d{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM {prev} LEFT JOIN deg USING (vid) WHERE od IS NULL),
+c{i} AS (SELECT e0.dst AS vid, sum({prev}.rank / deg.od) AS s
+         FROM e0 JOIN {prev} ON e0.src = {prev}.vid JOIN deg ON e0.src = deg.vid GROUP BY 1),
+r{i} AS (SELECT pv.vid,
+         (1 - {alpha}) * pv.p +
+         {alpha} * (coalesce(c{i}.s, 0) + (SELECT dm FROM d{i}) * pv.p) AS rank
+         FROM pv LEFT JOIN c{i} ON pv.vid = c{i}.vid)""")
+        prev = f"r{i}"
+    return f"""
+WITH {_ORDER_PART_EDGES_SQL},
+deg AS (SELECT src AS vid, count(*) AS od FROM e0 GROUP BY 1),
+seeds AS (SELECT vid FROM v WHERE vid % 97 = 0 AND vid < 1000000),
+sn AS (SELECT count(*) AS m FROM seeds),
+pv AS (SELECT v.vid, CASE WHEN s.vid IS NOT NULL THEN 1.0 / (SELECT m FROM sn) ELSE 0.0 END AS p
+       FROM v LEFT JOIN seeds s ON v.vid = s.vid),
+r0 AS (SELECT vid, p AS rank FROM pv),
+{','.join(iters)}
+SELECT vid, round(rank, 6) AS rank FROM r{n_iterations}
+"""
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 5) -> str:
+    """Unrolled k-truss peeling on the circulant graph: each round
+    recomputes per-edge triangle support within the alive set and
+    drops edges under k-2. Monotone, so over-unrolling is a no-op
+    (the circulant fixpoint lands in round 2; 5 leaves margin).
+    MATERIALIZED for the same 2^rounds re-inlining reason as
+    :func:`_kcore_sql`."""
+    ctes = ["a0 AS MATERIALIZED (SELECT src, dst FROM canon)"]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+s{r} AS (SELECT src, dst FROM a{r - 1} UNION ALL SELECT dst, src FROM a{r - 1}),
+sup{r} AS (SELECT e.src, e.dst, count(*) AS sup
+           FROM a{r - 1} e JOIN s{r} x ON x.src = e.src
+                           JOIN s{r} y ON y.src = e.dst AND y.dst = x.dst
+           GROUP BY 1, 2),
+a{r} AS MATERIALIZED (SELECT src, dst, sup FROM sup{r} WHERE sup >= {k - 2})""")
+    return f"""
+WITH {_CIRCULANT_EDGES_SQL},
+{','.join(ctes)}
+SELECT src, dst, sup AS support FROM a{rounds}
+"""
+
+
+def _tfidf_oracle_sql() -> str:
+    """DuckDB twin of :func:`q_tfidf_top3` (shared SQL generator lives
+    beside the Spark implementation in ``functions/text.py``)."""
+    from hoover_spark.functions.text import tf_idf_top_terms_sql
+
+    inner = tf_idf_top_terms_sql("documents", "doc_id", "text", top_k=3)
+    return f"SELECT id AS doc_id, term, score, rank FROM ({inner})"
+
+
 def _cms_sql(depth: int = 4, width: int = 64) -> str:
     """DuckDB twin of the affine-bucket CMS on events.user_id."""
     from hoover_spark.operators.sketches import AFFINE_P
@@ -1287,6 +1425,9 @@ SELECT label AS component, count(*) AS size FROM labels GROUP BY 1
         "pagerank_3iter": _pagerank_sql(),
         "hits_2iter": _hits_sql(),
         "kcore_3": _kcore_sql(),
+        "ppr_3iter": _ppr_sql(),
+        "ktruss_4": _ktruss_sql(),
+        "tfidf_top3": _tfidf_oracle_sql(),
         "minlabel_2iter": f"""
 WITH {_EVENTS_EDGES_SQL},
 l0 AS (SELECT vid, vid AS label FROM v),

@@ -374,3 +374,72 @@ def winnow_fingerprints(
         .select("id", F.min("h").over(w).alias("fp"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (corpus-curation scoring)
+# ---------------------------------------------------------------------------
+
+def tf_idf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 3
+) -> DataFrame:
+    """(id, term, score, rank) — the ``top_k`` highest-TF-IDF terms per
+    document: score = tf · ln(N / df) with raw term counts, natural
+    log, and N the total document count (Sparck Jones 1972; the
+    standard salience scorer a curation pipeline runs before topic
+    binning / keyword dedup).
+
+    Terms are ASCII ``[A-Za-z0-9]+`` runs lowercased AFTER extraction —
+    ascii-only tokens lowercase identically on the JVM and in DuckDB,
+    so the SQL twin is bit-exact without depending on unicode casing
+    tables. Ranking is by (rounded score DESC, term ASC): term is
+    unique per document after aggregation, so the order is total, and
+    rounding first keeps Spark/DuckDB agreement on near-ties.
+
+    Scale shape: tokenize+explode is map-side; tf is one groupBy
+    (id, term) with map-side combine; df re-aggregates the tf table by
+    term (tf rows are already distinct per (id, term), so no
+    countDistinct shuffle); the idf join keys on term (AQE broadcasts
+    the vocabulary when it fits); top-k is one window over id.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(f"regexp_extract_all({text_col}, '[A-Za-z0-9]+', 0)")
+        ).alias("tok"),
+    ).select("id", F.lower("tok").alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(
+        F.log(F.lit(float(n_docs)) / F.count(F.lit(1))).alias("idf")
+    )
+    scored = tf.join(idf, on="term").select(
+        "id", "term", F.round(F.col("tf") * F.col("idf"), 6).alias("score")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.select("id", "term", "score", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= top_k)
+    )
+
+
+def tf_idf_top_terms_sql(
+    table: str, id_col: str, text_col: str, top_k: int = 3
+) -> str:
+    """DuckDB twin of :func:`tf_idf_top_terms`."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, lower(unnest(regexp_extract_all({text_col}, '[A-Za-z0-9]+'))) AS term
+  FROM {table}
+),
+tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+idf AS (SELECT term, ln((SELECT count(*) FROM {table}) / count(*)::double) AS idf
+        FROM tf GROUP BY 1),
+scored AS (SELECT id, tf.term, round(tf * idf, 6) AS score FROM tf JOIN idf USING (term)),
+ranked AS (SELECT id, term, score,
+                  row_number() OVER (PARTITION BY id ORDER BY score DESC, term ASC) AS rank
+           FROM scored)
+SELECT id, term, score, rank FROM ranked WHERE rank <= {top_k}
+"""

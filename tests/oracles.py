@@ -192,3 +192,50 @@ def kcore_oracle(pairs: list[tuple[int, int]], k: int) -> dict[int, int]:
         alive -= drop
         if not alive:
             return {}
+
+
+def ppr_oracle(
+    pairs: list[tuple[int, int]],
+    seeds: set[int],
+    alpha: float = 0.85,
+    n_iterations: int = 3,
+) -> dict[int, float]:
+    """Synchronous personalized PageRank: restart AND dangling mass
+    re-enter at the seed distribution (uniform over ``seeds``)."""
+    verts = sorted({v for e in pairs for v in e} | seeds)
+    p = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in verts}
+    out: dict[int, list[int]] = {}
+    for s, d in pairs:
+        out.setdefault(s, []).append(d)
+    rank = dict(p)
+    for _ in range(n_iterations):
+        dangling = sum(r for v, r in rank.items() if v not in out)
+        nxt = {v: 0.0 for v in verts}
+        for s, ds in out.items():
+            w = rank[s] / len(ds)
+            for d in ds:
+                nxt[d] += w
+        rank = {
+            v: (1 - alpha) * p[v] + alpha * (nxt[v] + dangling * p[v])
+            for v in verts
+        }
+    return rank
+
+
+def ktruss_oracle(
+    pairs: list[tuple[int, int]], k: int
+) -> dict[tuple[int, int], int]:
+    """Peel to the k-truss; returns {(a,b) canonical: in-truss support}."""
+    alive = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    while True:
+        adj: dict[int, set[int]] = {}
+        for a, b in alive:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in alive}
+        drop = {e for e, s in sup.items() if s < k - 2}
+        if not drop:
+            return sup
+        alive -= drop
+        if not alive:
+            return {}
