@@ -169,6 +169,32 @@ def main():
          plan_of(multi_contract(sym, 16, levels=3)))
     )
 
+    # 13. r5 link kernels — one representative round each. kcore/ktruss
+    # peel rounds and the hits/ppr iterations must stay one-shuffle-
+    # per-gather shapes over the persisted edge side (no Exchange on
+    # the cached big side; per-vertex sides broadcastable by AQE).
+    from hoover_spark.functions.text import tf_idf_top_terms
+    from hoover_spark.operators.hits import hits
+    from hoover_spark.operators.kcore import kcore
+    from hoover_spark.operators.ktruss import _edge_support
+    from hoover_spark.operators.ppr import personalized_pagerank
+
+    sections.append(("hits (2 iterations, L2 norm in-plan)", plan_of(hits(g, n_iterations=2))))
+    sections.append(("kcore k=3 (result after peel fixpoint)", plan_of(kcore(g, k=3))))
+    sections.append(
+        ("ktruss support round (oriented wedge + 3-edge explode)",
+         plan_of(_edge_support(g.canonical())))
+    )
+    seeds = verts.where(F.col("vid") % 11 == 0)
+    sections.append(
+        ("ppr (1 iteration, seed-biased dangling)",
+         plan_of(personalized_pagerank(g, seeds, n_iterations=1)))
+    )
+    sections.append(
+        ("tfidf_top_terms (explode + two-level agg + window)",
+         plan_of(tf_idf_top_terms(docs, "doc_id", "text")))
+    )
+
     report = []
     for title, plan in sections:
         checks = {
@@ -250,6 +276,27 @@ def main():
                 "  the persisted sym-edge side is read once with NO extra\n"
                 "  Exchange. The whole pyramid executes inside hash-min round 1's\n"
                 "  single job; levels shuffle O(|V|) mapping rows, never edges.\n"
+                "- hits: each half-step is InMemoryTableScan(edges) → join with\n"
+                "  the per-vertex score side → partial/final HashAggregate — the\n"
+                "  pagerank shape; the L2 norm is a 1-row aggregate crossJoined\n"
+                "  back (BroadcastNestedLoopJoin of one row), never collected.\n"
+                "- kcore / ppr: the dumped result plans collapse to a scan of the\n"
+                "  fixpoint's localCheckpointed RDD (exchanges: 0 is the artifact\n"
+                "  of dumping AFTER convergence); the per-round shape is the\n"
+                "  ktruss/pagerank family above — alive/state side joins the\n"
+                "  persisted edge side, one Exchange per gather.\n"
+                "- ktruss support round: degree rank join → oriented wedge\n"
+                "  self-join → closing left_semi → 3-way corner union →\n"
+                "  partial/final count per canonical edge. The high `exchanges`\n"
+                "  string count is the Initial-Plan duplication artifact; at\n"
+                "  runtime each round runs over the previous round's\n"
+                "  localCheckpointed alive set, so lineage never compounds.\n"
+                "- tfidf_top_terms: tokenize+explode is map-side (Generate\n"
+                "  inside codegen); tf is one partial/final HashAggregate on\n"
+                "  (id, term); idf re-aggregates the tf side by term (already\n"
+                "  distinct per (id,term) — no countDistinct expand); the idf\n"
+                "  join broadcasts the vocabulary at this scale; top-k is one\n"
+                "  window over id.\n"
             )
             for title, checks, plan in report:
                 f.write(f"\n## {title}\n\nchecks: `{checks}`\n\n```\n{plan}\n```\n")
