@@ -329,6 +329,46 @@ def q_vertex_metrics(spark, sf_dir):
     )
 
 
+def q_clustering_coeff(spark, sf_dir):
+    """Per-vertex local clustering coefficient — the per-vertex
+    normalization of the reference's triangle statistic
+    (``test/count_triangles.c:122-126``); integer tri/deg inputs, one
+    double division, bit-exact vs the SQL oracle."""
+    from hoover_spark.operators.triangles import clustering_coefficient
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return clustering_coefficient(g).select(
+        "vid", "degree", "triangles", F.round("lcc", 6).alias("lcc")
+    )
+
+
+def q_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the customer graph — one row,
+    computed from exact int64 moment sums (see
+    ``operators/graph.py:degree_assortativity``)."""
+    from hoover_spark.operators.graph import degree_assortativity
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return degree_assortativity(g).select(
+        "m_edges", F.round("assortativity", 6).alias("assortativity")
+    )
+
+
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Sub-document dedup signal (Lee et al. 2022): per document, the
+    fraction of its distinct char 9-grams shared with other documents
+    — catches boilerplate/quoted spans whole-document dedup misses."""
+    from hoover_spark.operators.dedup import dup_shingle_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_shingle_stats(docs, "doc_id", "text", k=9).select(
+        F.col("id").alias("doc_id"),
+        "n_codes",
+        "dup_codes",
+        F.round("dup_fraction", 6).alias("dup_fraction"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs, "doc_id", "text").select(
@@ -1046,6 +1086,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_total": q_triangle_total,
         "triangles_per_vertex": q_triangles_per_vertex,
         "vertex_metrics": q_vertex_metrics,
+        "clustering_coeff": q_clustering_coeff,
+        "assortativity": q_assortativity,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1087,8 +1130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def _shingle_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text", k: int = SHINGLE_K) -> str:
+    # the 31^j multiplier must be a BIGINT literal: at k ≥ 6 the int32
+    # product (255 * 31^5) overflows DuckDB's default INT32 arithmetic
     terms = " + ".join(
-        f"(ascii(substr({text_col}, p + {j}, 1)) % 256) * {31 ** j}"
+        f"(ascii(substr({text_col}, p + {j}, 1)) % 256) * CAST({31 ** j} AS BIGINT)"
         for j in range(k)
     )
     return (
@@ -1497,6 +1542,55 @@ FROM labels l
 JOIN deg ON deg.vid = l.vid
 JOIN sizes ON sizes.label = l.label
 LEFT JOIN cc ON cc.vid = l.vid
+""",
+        "clustering_coeff": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+canon AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d FROM e0),
+tris AS (
+  SELECT a.s AS u, a.d AS v2, b.d AS w
+  FROM canon a JOIN canon b ON b.s = a.d JOIN canon c ON c.s = a.s AND c.d = b.d
+),
+corners AS (
+  SELECT u AS vid FROM tris UNION ALL SELECT v2 FROM tris UNION ALL SELECT w FROM tris
+),
+cc AS (SELECT vid, count(*) AS c FROM corners GROUP BY 1),
+deg AS (SELECT src AS vid, count(*) AS degree FROM sym GROUP BY 1)
+SELECT v.vid,
+       CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
+       CAST(coalesce(cc.c, 0) AS BIGINT) AS triangles,
+       CASE WHEN coalesce(deg.degree, 0) >= 2
+            THEN round(2.0 * coalesce(cc.c, 0) / (deg.degree * (deg.degree - 1)), 6)
+            ELSE 0.0 END AS lcc
+FROM v LEFT JOIN deg ON v.vid = deg.vid LEFT JOIN cc ON v.vid = cc.vid
+""",
+        "assortativity": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+deg AS (SELECT src AS vid, count(*) AS degree FROM sym GROUP BY 1),
+j AS (SELECT a.degree AS ds, b.degree AS dd
+      FROM sym s JOIN deg a ON s.src = a.vid JOIN deg b ON s.dst = b.vid),
+sums AS (SELECT count(*) AS m, sum(ds) AS sx, sum(ds * dd) AS sxy,
+                sum(ds * ds) AS sxx FROM j)
+SELECT CAST(m AS BIGINT) AS m_edges,
+       CASE WHEN (m * sxx - sx * sx) <> 0
+            THEN round(CAST(m * sxy - sx * sx AS DOUBLE)
+                       / CAST(m * sxx - sx * sx AS DOUBLE), 6)
+            ELSE 0.0 END AS assortativity
+FROM sums
+""",
+        "dup_ngram_fraction": f"""
+WITH {_shingle_sql(k=9)},
+sc AS (SELECT DISTINCT id, code FROM sh),
+cd AS (SELECT code, count(*) AS n_docs FROM sc GROUP BY 1),
+pd AS (SELECT id, count(*) AS n_codes,
+              sum(CASE WHEN cd.n_docs >= 2 THEN 1 ELSE 0 END) AS dup_codes
+       FROM sc JOIN cd USING (code) GROUP BY 1)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(pd.n_codes, 0) AS BIGINT) AS n_codes,
+       CAST(coalesce(pd.dup_codes, 0) AS BIGINT) AS dup_codes,
+       CASE WHEN coalesce(pd.n_codes, 0) > 0
+            THEN round(CAST(pd.dup_codes AS DOUBLE) / CAST(pd.n_codes AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_fraction
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.id
 """,
         "dedup_exact": """
 WITH h AS (SELECT doc_id AS id, sha256(text) AS content_sha FROM documents),

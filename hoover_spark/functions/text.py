@@ -251,9 +251,12 @@ def shingle_codes(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Data
 
 
 def shingle_codes_sql(table: str, id_col: str, text_col: str, k: int = 5) -> str:
-    """DuckDB twin of :func:`shingle_codes` (1-based positions)."""
+    """DuckDB twin of :func:`shingle_codes` (1-based positions). The
+    base^j multiplier is cast to BIGINT — at k ≥ 6 the int32 product
+    (255 · 31⁵) overflows DuckDB's default INT32 arithmetic."""
     terms = " + ".join(
-        f"(ascii(substr({text_col}, p + {j}, 1)) % 256) * {POLY_BASE ** j}"
+        f"(ascii(substr({text_col}, p + {j}, 1)) % 256)"
+        f" * CAST({POLY_BASE ** j} AS BIGINT)"
         for j in range(k)
     )
     return (

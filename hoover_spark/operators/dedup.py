@@ -458,3 +458,72 @@ def dup_clusters(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
         all_ids.join(labels.withColumnRenamed("vid", "id"), on="id", how="left")
         .select("id", F.coalesce("label", F.col("id")).alias("cluster_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document n-gram containment (sub-document dedup signal)
+# ---------------------------------------------------------------------------
+
+def dup_shingle_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 9
+) -> DataFrame:
+    """Per-document shared-n-gram fraction — the *sub-document* dedup
+    signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): what fraction of a document's distinct
+    character k-grams also occur in at least one OTHER document. Whole-
+    document dedup (exact sha / MinHash) misses boilerplate and quoted
+    spans; a high ``dup_fraction`` with a non-duplicate document is
+    exactly that case, and corpus curation drops or trims on it.
+
+    Returns ``(id, n_codes, dup_codes, dup_fraction)`` — one row per
+    input document (documents shorter than ``k`` report 0/0/0.0).
+
+    Plan (three bucketed shuffles, no iteration, no Python in the
+    second half):
+
+    1. ``shingle_codes`` — the fused Arrow kernel, O(|text|·k) per doc;
+    2. distinct ``(id, code)`` — hash agg keyed on the pair;
+    3. ``groupBy(code)`` doc-frequency — partial/final hash agg; the
+       join back to (id, code) is an equi-join on code (AQE handles
+       boilerplate-hot codes the way LSH handles hot buckets);
+    4. ``groupBy(id)`` — final per-doc counts; one double division.
+
+    The polynomial code space is ~255·31^(k−1) (``shingle_codes``
+    reduces codepoints mod 256), so rare accidental collisions can
+    only OVER-count sharing — the signal is conservative in the safe
+    direction, same trade as every hash-based dedup stage here. Counts
+    are exact int64 and the fraction is a single division, so the
+    DuckDB oracle reproduces it bit-for-bit.
+    """
+    sc = (
+        shingle_codes(df, id_col, text_col, k=k)
+        .select("id", "code")
+        .distinct()
+    )
+    code_docs = sc.groupBy("code").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        sc.join(code_docs, on="code")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_codes"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
+                "dup_codes"
+            ),
+        )
+    )
+    n = F.col("n_codes")
+    return (
+        df.select(F.col(id_col).cast("long").alias("id"))
+        .join(per_doc, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce(n, F.lit(0)).cast("long").alias("n_codes"),
+            F.coalesce("dup_codes", F.lit(0)).cast("long").alias("dup_codes"),
+            F.when(
+                F.coalesce(n, F.lit(0)) > 0,
+                F.col("dup_codes").cast("double") / n.cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )

@@ -299,3 +299,57 @@ def graph_from_pairs(spark, pairs, num_partitions: int = 8) -> Graph:
         [(int(s), int(d)) for s, d in pairs], schema=EDGE_SCHEMA
     )
     return Graph(df, num_partitions=num_partitions)
+
+
+def degree_assortativity(graph: Graph) -> DataFrame:
+    """One-row ``(m_edges, assortativity)`` — Newman (2002) degree
+    assortativity of the undirected graph: the Pearson correlation of
+    the endpoint degrees over all directed edges of the symmetric
+    view. Positive = hubs link to hubs (social), negative = hubs link
+    to leaves (web/tech graphs) — the standard one-number topology
+    fingerprint a link-graph user reads before choosing skew handling
+    (an assortative graph salts differently than a star-heavy one).
+
+    Computed from exact int64 moment sums so any two engines agree
+    bit-for-bit: over the symmetric edge list Sx = Sy and Sxx = Syy,
+    hence
+
+        r = (M·Sxy − Sx²) / (M·Sxx − Sx²)
+
+    with M = |sym edges|, Sx = Σ deg(src), Sxy = Σ deg(src)·deg(dst),
+    Sxx = Σ deg(src)² — three integer aggregates and ONE double
+    division at the end. Plan: two hash joins of the edge list against
+    the O(|V|) degree table (broadcast when small, sort-merge
+    otherwise) and a single global agg with map-side partials — one
+    pass over the edges, no iteration. Degenerate graphs (all degrees
+    equal — zero variance) return 0.0. Bound: the int64 moments hold
+    exactly while M·D² < 2⁶³ (D = max degree) — at 10¹² edges and
+    D ≈ 10⁴ switch the moment sums to double (documented trade: ~1 ulp
+    per 2⁵³, far below the 6-dp contract precision).
+    """
+    deg = graph.degrees()
+    e = (
+        graph.symmetric()
+        .join(
+            deg.select(F.col("vid").alias("src"), F.col("degree").alias("ds")),
+            on="src",
+        )
+        .join(
+            deg.select(F.col("vid").alias("dst"), F.col("degree").alias("dd")),
+            on="dst",
+        )
+    )
+    sums = e.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("ds").alias("sx"),
+        F.sum(F.col("ds") * F.col("dd")).alias("sxy"),
+        F.sum(F.col("ds") * F.col("ds")).alias("sxx"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        F.col("m").cast("long").alias("m_edges"),
+        F.when(den != 0, num.cast("double") / den.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("assortativity"),
+    )

@@ -197,3 +197,41 @@ def triangle_delta(
         .unionAll(corners(tri3, ("u", "v", "w")))
     )
     return allc.groupBy("vid").agg(F.count(F.lit(1)).alias("d"))
+
+
+def clustering_coefficient(graph: Graph) -> DataFrame:
+    """Per-vertex local clustering coefficient (Watts & Strogatz 1998).
+
+    ``lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1))`` — the fraction of a
+    vertex's neighbor pairs that are themselves connected; 0.0 for
+    degree < 2. The standard link-graph "how web-spammy / how
+    community-like is this node" score, and the per-vertex refinement
+    of the reference's global triangle statistic
+    (``test/count_triangles.c:122-126`` keeps the per-vertex count in
+    feature 0 — the coefficient is that count normalized by the wedge
+    capacity).
+
+    Returns ``(vid, degree, triangles, lcc)``. Composition of the two
+    existing views — per-vertex triangles (degree-oriented wedge join)
+    left-joined with the symmetric degree — so the only new work over
+    :func:`per_vertex_triangles` is one O(|V|) join. Both inputs are
+    exact int64 and the coefficient is a single double division, so a
+    SQL oracle reproduces it bit-for-bit.
+    """
+    tri = per_vertex_triangles(graph)
+    deg = graph.degrees()
+    d = F.col("degree")
+    return (
+        tri.join(deg, on="vid", how="left")
+        .select(
+            "vid",
+            F.coalesce(d, F.lit(0)).cast("long").alias("degree"),
+            F.col("triangles").cast("long").alias("triangles"),
+            F.when(
+                F.coalesce(d, F.lit(0)) >= 2,
+                F.lit(2.0) * F.col("triangles") / (d * (d - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )

@@ -195,6 +195,29 @@ def main():
          plan_of(tf_idf_top_terms(docs, "doc_id", "text")))
     )
 
+    # 14. r5 graph/corpus metrics — clustering coefficient must reuse
+    # the triangle wedge-join shape plus ONE O(|V|) join; assortativity
+    # is one pass over the edges (two degree joins + a single global
+    # agg with map-side partials — no window, no iteration);
+    # dup_shingle_stats is the fused shingle kernel + three bucketed
+    # hash aggs (code/id keyed), no Python after the kernel.
+    from hoover_spark.operators.dedup import dup_shingle_stats
+    from hoover_spark.operators.graph import degree_assortativity
+    from hoover_spark.operators.triangles import clustering_coefficient
+
+    sections.append(
+        ("clustering_coefficient (wedge join + one O(|V|) join)",
+         plan_of(clustering_coefficient(g)))
+    )
+    sections.append(
+        ("degree_assortativity (two degree joins + global moment agg)",
+         plan_of(degree_assortativity(g)))
+    )
+    sections.append(
+        ("dup_shingle_stats (fused shingle kernel + bucketed aggs)",
+         plan_of(dup_shingle_stats(docs, "doc_id", "text", k=9)))
+    )
+
     report = []
     for title, plan in sections:
         checks = {
