@@ -33,6 +33,7 @@ from hoover_spark.functions.text import (
     quality_metrics,
     quality_score,
     shingle_codes,
+    shingle_codes_sql,
     subword_count,
     token_count,
     winnow_fingerprints,
@@ -366,6 +367,119 @@ def q_dup_ngram_fraction(spark, sf_dir):
         "n_codes",
         "dup_codes",
         F.round("dup_fraction", 6).alias("dup_fraction"),
+    )
+
+
+def q_bfs_hops_3(spark, sf_dir):
+    """Multi-source BFS to 3 hops from the vid%97==0 seed set —
+    frontier-delta expansion (``operators/paths.py:bfs_hops``), checked
+    against a 3-level unrolled min-hop SQL oracle."""
+    from hoover_spark.operators.paths import bfs_hops
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    seeds = g.vertices().where(F.col("vid") % 97 == 0)
+    return bfs_hops(g, seeds, max_hops=3)
+
+
+def q_link_predict_ra(spark, sf_dir):
+    """Open-wedge link prediction with the Resource-Allocation index
+    (Zhou, Lü & Zhang 2009) — non-adjacent pairs with ≥2 common
+    neighbors; RA = Σ 1/deg(v) is transcendental-free so the SQL
+    oracle reproduces it to the rounded 6 dp exactly."""
+    from hoover_spark.operators.paths import link_predict
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return link_predict(g, min_common=2, scores=("ra",)).select(
+        "u", "w", "common_neighbors", F.round("ra_score", 6).alias("ra_score")
+    )
+
+
+def q_reciprocity(spark, sf_dir):
+    """Directed-edge reciprocity of the customer graph — one row,
+    exact int64 counts + one division (``operators/graph.py``)."""
+    from hoover_spark.operators.graph import reciprocity
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return reciprocity(g).select(
+        "m_edges", "reciprocal_edges", F.round("reciprocity", 6).alias("reciprocity")
+    )
+
+
+def q_degree_histogram(spark, sf_dir):
+    """Log2-binned degree histogram — bucket = floor(log2(deg + 0.5))
+    so a 1-ulp libm divergence between engines can't flip a floor at
+    an exact power of two (``operators/graph.py:degree_histogram``)."""
+    from hoover_spark.operators.graph import degree_histogram
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return degree_histogram(g)
+
+
+def _pii_augmented_docs(spark, sf_dir):
+    """documents with deterministic PII-ish tokens appended (same
+    derivation in the SQL oracle) so the extraction regexes are
+    actually exercised — the raw synthetic corpus contains none."""
+    d = F.col("doc_id")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"), d.cast("string"), F.lit("@example.com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit(" origin 10.0."), (d % 256).cast("string"), F.lit(".7")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection counts (emails, IPv4) over deterministically
+    augmented documents — map-only codegen'd regex scan
+    (``functions/text.py:pii_stats``)."""
+    from hoover_spark.functions.text import pii_stats
+
+    docs = _pii_augmented_docs(spark, sf_dir)
+    return pii_stats(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_emails", "n_ipv4", "has_pii"
+    )
+
+
+def q_segment_repetition(spark, sf_dir):
+    """Gopher-style duplicate-segment quality features — split on '.',
+    trim, drop empties; dup_fraction = 1 − distinct/segments
+    (``functions/text.py:segment_repetition``)."""
+    from hoover_spark.functions.text import segment_repetition
+
+    docs = _t(spark, sf_dir, "documents")
+    return segment_repetition(docs, "doc_id", "text", sep=".").select(
+        F.col("id").alias("doc_id"),
+        "n_segments",
+        "n_distinct",
+        F.round("dup_fraction", 6).alias("dup_fraction"),
+        F.round("mean_seg_chars", 6).alias("mean_seg_chars"),
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id%37≠0) sharing
+    any char 12-gram with the benchmark slice (doc_id%37==0); the
+    benchmark's distinct code set broadcasts, so the corpus-side pass
+    is shuffle-free (``operators/dedup.py:decontaminate``)."""
+    from hoover_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 37 != 0)
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    return decontaminate(train, bench, "doc_id", "text", k=12).select(
+        F.col("id").alias("doc_id"), "n_codes", "n_hits", "contaminated"
     )
 
 
@@ -1088,7 +1202,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_metrics": q_vertex_metrics,
         "clustering_coeff": q_clustering_coeff,
         "assortativity": q_assortativity,
+        "bfs_hops_3": q_bfs_hops_3,
+        "link_predict_ra": q_link_predict_ra,
+        "reciprocity": q_reciprocity,
+        "degree_histogram": q_degree_histogram,
         "dup_ngram_fraction": q_dup_ngram_fraction,
+        "pii_scrub": q_pii_scrub,
+        "segment_repetition": q_segment_repetition,
+        "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1576,6 +1697,99 @@ SELECT CAST(m AS BIGINT) AS m_edges,
                        / CAST(m * sxx - sx * sx AS DOUBLE), 6)
             ELSE 0.0 END AS assortativity
 FROM sums
+""",
+        "bfs_hops_3": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+d0 AS (SELECT vid FROM v WHERE vid % 97 = 0),
+n1 AS (SELECT DISTINCT s.dst AS vid FROM sym s JOIN d0 ON s.src = d0.vid),
+n2 AS (SELECT DISTINCT s.dst AS vid FROM sym s JOIN n1 ON s.src = n1.vid),
+n3 AS (SELECT DISTINCT s.dst AS vid FROM sym s JOIN n2 ON s.src = n2.vid),
+lv AS (SELECT vid, 0 AS hops FROM d0 UNION ALL SELECT vid, 1 FROM n1
+       UNION ALL SELECT vid, 2 FROM n2 UNION ALL SELECT vid, 3 FROM n3)
+SELECT vid, CAST(min(hops) AS BIGINT) AS hops FROM lv GROUP BY 1
+""",
+        "link_predict_ra": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+deg AS (SELECT src AS vid, count(*) AS degree FROM sym GROUP BY 1),
+wj AS (SELECT a.src AS v, a.dst AS u, b.dst AS w2
+       FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst),
+sc AS (SELECT u, w2, count(*) AS cn, sum(CAST(1 AS DOUBLE) / deg.degree) AS ra
+       FROM wj JOIN deg ON wj.v = deg.vid GROUP BY 1, 2),
+canon AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d FROM e0)
+SELECT u, w2 AS w, CAST(cn AS BIGINT) AS common_neighbors, round(ra, 6) AS ra_score
+FROM sc LEFT JOIN canon ON canon.s = sc.u AND canon.d = sc.w2
+WHERE cn >= 2 AND canon.s IS NULL
+""",
+        "reciprocity": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+r AS (SELECT count(*) AS m, count(b.src) AS rec
+      FROM e0 a LEFT JOIN e0 b ON b.src = a.dst AND b.dst = a.src)
+SELECT CAST(m AS BIGINT) AS m_edges, CAST(rec AS BIGINT) AS reciprocal_edges,
+       CASE WHEN m > 0 THEN round(CAST(rec AS DOUBLE) / m, 6) ELSE 0.0 END AS reciprocity
+FROM r
+""",
+        "degree_histogram": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+deg AS (SELECT src AS vid, count(*) AS degree FROM sym GROUP BY 1)
+SELECT CAST(floor(log2(CAST(degree AS DOUBLE) + 0.5)) AS BIGINT) AS bucket,
+       count(*) AS n_vertices,
+       CAST(min(degree) AS BIGINT) AS min_degree,
+       CAST(max(degree) AS BIGINT) AS max_degree
+FROM deg GROUP BY 1
+""",
+        "pii_scrub": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END ||
+         CASE WHEN doc_id % 4 = 0
+              THEN ' origin 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+              ELSE '' END AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+         len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni
+  FROM aug
+)
+SELECT doc_id, CAST(ne AS BIGINT) AS n_emails, CAST(ni AS BIGINT) AS n_ipv4,
+       (ne > 0 OR ni > 0) AS has_pii
+FROM c
+""",
+        "segment_repetition": """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, '.'), x -> trim(x)),
+                     x -> x <> '') AS segs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(segs) AS BIGINT) AS n_segments,
+       CAST(len(list_distinct(segs)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(segs) > 0
+            THEN round(1.0 - CAST(len(list_distinct(segs)) AS DOUBLE) / len(segs), 6)
+            ELSE 0.0 END AS dup_fraction,
+       CASE WHEN len(segs) > 0
+            THEN round(CAST(list_aggregate(list_transform(segs, x -> length(x)), 'sum')
+                            AS DOUBLE) / len(segs), 6)
+            ELSE 0.0 END AS mean_seg_chars
+FROM s
+""",
+        "decontaminate": f"""
+WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0),
+bm AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0),
+tc AS (SELECT DISTINCT id, code FROM ({shingle_codes_sql('tr', 'doc_id', 'text', 12)})),
+bc AS (SELECT DISTINCT code FROM ({shingle_codes_sql('bm', 'doc_id', 'text', 12)})),
+pd AS (SELECT id, count(*) AS n_codes FROM tc GROUP BY 1),
+ht AS (SELECT id, count(*) AS n_hits FROM tc JOIN bc USING (code) GROUP BY 1)
+SELECT t.doc_id AS doc_id,
+       CAST(coalesce(pd.n_codes, 0) AS BIGINT) AS n_codes,
+       CAST(coalesce(ht.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(ht.n_hits, 0) > 0 AS contaminated
+FROM tr t LEFT JOIN pd ON t.doc_id = pd.id LEFT JOIN ht ON t.doc_id = ht.id
 """,
         "dup_ngram_fraction": f"""
 WITH {_shingle_sql(k=9)},

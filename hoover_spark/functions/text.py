@@ -446,3 +446,72 @@ ranked AS (SELECT id, term, score,
            FROM scored)
 SELECT id, term, score, rank FROM ranked WHERE rank <= {top_k}
 """
+
+
+# ---------------------------------------------------------------------------
+# PII detection and segment-repetition quality (corpus-pipeline gates)
+# ---------------------------------------------------------------------------
+
+#: dialect-portable patterns (Java regex AND RE2 agree on these exact
+#: constructs: literal classes, bounded repetition, \b, \d ASCII-only)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII counts — the scrub gate every training-data
+    pipeline runs before release: ``(id, n_emails, n_ipv4, has_pii)``.
+
+    Counts are non-overlapping regex matches (``regexp_extract_all``
+    semantics, identical in Spark's Java regex and DuckDB's RE2 for
+    the patterns above — both deliberately avoid backreferences,
+    lookaround, and unicode classes where the dialects diverge). All
+    codegen'd JVM expressions: no Python, no UDF, embarrassingly
+    parallel — the 100 TB plan is a map-only scan.
+    """
+    emails = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL_RE), F.lit(0)))
+    ips = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_IPV4_RE), F.lit(0)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        emails.cast("long").alias("n_emails"),
+        ips.cast("long").alias("n_ipv4"),
+        ((emails > 0) | (ips > 0)).alias("has_pii"),
+    )
+
+
+def segment_repetition(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "."
+) -> DataFrame:
+    """Per-document segment-repetition features — the Gopher-style
+    duplicate-line/sentence rule (Rae et al. 2021): split on ``sep``,
+    trim, drop empties, and report
+
+    ``(id, n_segments, n_distinct, dup_fraction, mean_seg_chars)``
+
+    where ``dup_fraction = 1 − distinct/segments`` (0 for empty docs).
+    High dup_fraction = boilerplate/templated text that per-document
+    dedup can't see. All array expressions (split / transform / filter
+    / array_distinct / aggregate) — codegen'd, map-only, no shuffle.
+    """
+    import re as _re
+
+    segs = F.filter(
+        F.transform(F.split(F.col(text_col), _re.escape(sep)), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n = F.size(segs)
+    uniq = F.size(F.array_distinct(segs))
+    total_chars = F.aggregate(
+        segs, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_segments"),
+        uniq.cast("long").alias("n_distinct"),
+        F.when(n > 0, F.lit(1.0) - uniq.cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+        F.when(n > 0, total_chars.cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("mean_seg_chars"),
+    )

@@ -527,3 +527,58 @@ def dup_shingle_stats(
             .alias("dup_fraction"),
         )
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents that share
+    any character ``k``-gram with a held-out benchmark set (the
+    standard n-gram-overlap decontamination of public LLM corpus
+    pipelines; cf. the 13-gram rule popularized by GPT-3's appendix).
+
+    Returns one row per ``train`` document:
+    ``(id, n_codes, n_hits, contaminated)`` where ``n_codes`` is the
+    document's distinct k-gram count, ``n_hits`` how many of those
+    also occur in the benchmark, and ``contaminated = n_hits > 0``.
+
+    Plan: both sides run the fused Arrow shingle kernel
+    (:func:`hoover_spark.functions.text.shingle_codes`, O(|text|·k)
+    per document), reduce to distinct codes, and meet in ONE equi-join
+    on the 64-bit code. At 100 TB the benchmark side is tiny by
+    construction (a benchmark is MBs, the corpus is TBs): its distinct
+    code set broadcasts, making the whole pass map-side — no shuffle
+    of the corpus. Collisions in the polynomial code space can only
+    OVER-flag (safe direction for decontamination). ``k`` ≤ 12 keeps
+    the un-modded polynomial inside int64 (255·31¹¹·31/30 < 2⁶³) so a
+    SQL oracle reproduces the codes bit-for-bit.
+    """
+    t_codes = (
+        shingle_codes(train, id_col, text_col, k=k).select("id", "code").distinct()
+    )
+    b_codes = (
+        shingle_codes(benchmark, id_col, text_col, k=k)
+        .select("code")
+        .distinct()
+    )
+    hits = (
+        t_codes.join(F.broadcast(b_codes), on="code", how="left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_doc = t_codes.groupBy("id").agg(F.count(F.lit(1)).alias("n_codes"))
+    return (
+        train.select(F.col(id_col).cast("long").alias("id"))
+        .join(per_doc, on="id", how="left")
+        .join(hits, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("n_codes", F.lit(0)).cast("long").alias("n_codes"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -353,3 +353,69 @@ def degree_assortativity(graph: Graph) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("assortativity"),
     )
+
+
+def reciprocity(graph: Graph) -> DataFrame:
+    """One-row ``(m_edges, reciprocal_edges, reciprocity)`` over the
+    *directed* cleaned edge list: the fraction of edges (u→v) whose
+    reverse (v→u) is also present — the standard directed-graph
+    fingerprint (a web link graph sits near 0, a social graph near
+    0.5+). The reference's edge store is inherently symmetric (both
+    endpoints hold every edge, ``src/hoover.cpp:487-492``); this is
+    the statistic that tells a user whether that symmetry is real or
+    an artifact.
+
+    Plan: one left self-join of the directed edge list on the reversed
+    key pair + a global agg — a single shuffle on (src, dst), exact
+    int64 counts, one double division, all lazy (ONE Spark job when
+    the caller acts). At 10¹² edges the join is a plain sort-merge on
+    the same key layout the canonicalization already shuffles by.
+    """
+    e = graph.cleaned().select("src", "dst")
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).withColumn("has_rev", F.lit(1))
+    sums = e.join(rev, on=["src", "dst"], how="left").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.coalesce("has_rev", F.lit(0))).alias("rec"),
+    )
+    return sums.select(
+        F.col("m").cast("long").alias("m_edges"),
+        F.col("rec").cast("long").alias("reciprocal_edges"),
+        F.when(
+            F.col("m") > 0, F.col("rec").cast("double") / F.col("m").cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("reciprocity"),
+    )
+
+
+def degree_histogram(graph: Graph) -> DataFrame:
+    """Log2-binned undirected degree histogram:
+    ``(bucket, n_vertices, min_degree, max_degree)`` with
+    ``bucket = floor(log2(degree))`` — the first thing a user plots on
+    a new 10¹²-edge crawl to size skew handling (a straight line =
+    power law = salt the top buckets).
+
+    Cross-engine determinism note: the bucket is computed as
+    ``floor(log2(degree + 0.5))`` — equal to ``floor(log2(d))`` for
+    every positive integer d, but never evaluated AT a power of two,
+    so a 1-ulp libm difference between engines can't flip the floor
+    (``log2(8)`` may round to 2.9999… in one libm and 3.0 in another;
+    ``log2(8.5)`` is safely interior for both).
+
+    Plan: the degree agg (one shuffle the Graph's other callers share)
+    + a ~60-bucket global agg with map-side partials — no sort, no
+    window.
+    """
+    deg = graph.degrees()
+    bucket = F.floor(F.log2(F.col("degree").cast("double") + F.lit(0.5)))
+    return (
+        deg.groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.min("degree").cast("long").alias("min_degree"),
+            F.max("degree").cast("long").alias("max_degree"),
+        )
+        .select("bucket", "n_vertices", "min_degree", "max_degree")
+    )

@@ -218,3 +218,52 @@ def test_duplicate_id_guard_env_flag(spark, monkeypatch):
     monkeypatch.delenv("HOOVER_SPARK_CHECK_UNIQUE_IDS")
     # guard off: per-row semantics, one signature row per input row
     assert minhash_signatures(dup, "doc_id", "text").count() == 3
+
+
+def test_decontaminate_flags_shared_grams(spark):
+    """A train doc sharing a 12-gram span with the benchmark is
+    flagged; disjoint docs are not; short docs report 0/0."""
+    from hoover_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark passage lives here")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "quoting the secret benchmark passage verbatim"),  # overlaps
+            (2, "completely unrelated words only zzz"),            # disjoint
+            (3, "tiny"),                                           # < k chars
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in decontaminate(train, bench, "doc_id", "text", k=12).collect()}
+    assert got[1]["contaminated"] is True and got[1]["n_hits"] > 0
+    assert got[2]["contaminated"] is False and got[2]["n_hits"] == 0
+    assert got[3]["n_codes"] == 0 and got[3]["contaminated"] is False
+    # every train row present exactly once
+    assert set(got) == {1, 2, 3}
+
+
+def test_decontaminate_counts_vs_python(spark):
+    """n_hits == |distinct train k-grams ∩ benchmark k-grams| computed
+    in pure python over the same mod-256 polynomial codes."""
+    from hoover_spark.operators.dedup import decontaminate
+
+    k = 12
+    b_text = "abcdefghijklmnop"
+    t_text = "xxxabcdefghijklmnopyyy"
+
+    def codes(s):
+        cps = [ord(c) % 256 for c in s]
+        return {
+            sum(cps[i + j] * 31**j for j in range(k))
+            for i in range(len(cps) - k + 1)
+        }
+
+    want = len(codes(t_text) & codes(b_text))
+    bench = spark.createDataFrame([(9, b_text)], "doc_id long, text string")
+    train = spark.createDataFrame([(1, t_text)], "doc_id long, text string")
+    row = decontaminate(train, bench, "doc_id", "text", k=k).collect()[0]
+    assert row["n_hits"] == want
+    assert row["n_codes"] == len(codes(t_text))

@@ -1,0 +1,170 @@
+"""BFS hop distances, link prediction, reciprocity, degree histogram
+vs driver-side python oracles (exact semantics)."""
+
+import math
+from collections import defaultdict, deque
+
+import pytest
+
+from hoover_spark.operators.graph import (
+    Graph,
+    degree_histogram,
+    graph_from_pairs,
+    reciprocity,
+)
+from hoover_spark.operators.paths import bfs_hops, link_predict
+from hoover_spark.sources.synthetic import (
+    edges_to_pairs,
+    path_graph,
+    rmat_graph,
+    star_graph,
+    two_cliques,
+)
+
+
+def bfs_oracle(pairs, seeds, max_hops):
+    """vid -> min hops, BFS over the symmetrized edge set."""
+    adj = defaultdict(set)
+    for s, d in pairs:
+        adj[s].add(d)
+        adj[d].add(s)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        v = q.popleft()
+        if dist[v] == max_hops:
+            continue
+        for w in adj[v]:
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                q.append(w)
+    return dist
+
+
+def link_predict_oracle(pairs, min_common=1):
+    """(u, w) -> (common_neighbors, ra_score) over non-adjacent pairs."""
+    adj = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    out = {}
+    verts = sorted(adj)
+    for i, u in enumerate(verts):
+        for w in verts[i + 1 :]:
+            if w in adj[u]:
+                continue
+            common = adj[u] & adj[w]
+            if len(common) >= min_common:
+                out[(u, w)] = (
+                    len(common),
+                    sum(1.0 / len(adj[v]) for v in common),
+                )
+    return out
+
+
+def test_bfs_path_graph(spark):
+    """On a path 0-1-…-9 with seed {0}, hops == vertex id up to the cap."""
+    g = path_graph(spark, 10)
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    got = {r["vid"]: r["hops"] for r in bfs_hops(g, seeds, max_hops=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_bfs_multi_source_rmat(spark):
+    g = rmat_graph(spark, scale=7, edge_factor=4)
+    pairs = edges_to_pairs(g)
+    seeds_py = sorted({v for e in pairs for v in e if v % 13 == 0})
+    seeds = spark.createDataFrame([(v,) for v in seeds_py], "vid long")
+    for cap in (1, 3):
+        got = {r["vid"]: r["hops"] for r in bfs_hops(g, seeds, max_hops=cap).collect()}
+        assert got == bfs_oracle(pairs, seeds_py, cap), f"max_hops={cap}"
+
+
+def test_bfs_early_exit_when_frontier_drains(spark):
+    """Two 4-cliques, no bridge: from a seed inside one clique the far
+    clique is unreachable at ANY cap, and the loop stops early."""
+    g = two_cliques(spark, k=4, bridge=False)
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    got = {r["vid"]: r["hops"] for r in bfs_hops(g, seeds, max_hops=50).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0] == 0 and all(got[v] == 1 for v in (1, 2, 3))
+
+
+def test_bfs_seed_not_in_graph(spark):
+    """A seed id absent from the edge set reports hops 0 (valid query
+    point, empty neighborhood)."""
+    g = path_graph(spark, 4)
+    seeds = spark.createDataFrame([(99,), (0,)], "vid long")
+    got = {r["vid"]: r["hops"] for r in bfs_hops(g, seeds, max_hops=1).collect()}
+    assert got[99] == 0 and got[0] == 0 and got[1] == 1
+
+
+def test_link_predict_rmat(spark):
+    g = rmat_graph(spark, scale=6, edge_factor=3)
+    pairs = edges_to_pairs(g)
+    want = link_predict_oracle(pairs, min_common=2)
+    got = {
+        (r["u"], r["w"]): (r["common_neighbors"], r["ra_score"])
+        for r in link_predict(g, min_common=2).collect()
+    }
+    assert set(got) == set(want)
+    for k, (cn, ra) in want.items():
+        assert got[k][0] == cn
+        assert got[k][1] == pytest.approx(ra, abs=1e-12)
+
+
+def test_link_predict_star_scores(spark):
+    """Star with hub 0 and leaves 1..5: every leaf pair shares exactly
+    the hub, RA = 1/deg(hub) = 1/5; AA = 1/ln(5)."""
+    g = star_graph(spark, 5)
+    rows = link_predict(g, min_common=1, scores=("ra", "aa")).collect()
+    assert len(rows) == 10  # C(5,2) leaf pairs
+    for r in rows:
+        assert r["common_neighbors"] == 1
+        assert r["ra_score"] == pytest.approx(0.2, abs=1e-12)
+        assert r["aa_score"] == pytest.approx(1.0 / math.log(5), abs=1e-12)
+
+
+def test_link_predict_center_degree_cap(spark):
+    """Capping out the hub removes all its wedges: the star yields no
+    predictions when max_center_degree < deg(hub)."""
+    g = star_graph(spark, 5)
+    assert link_predict(g, max_center_degree=4).count() == 0
+
+
+def test_reciprocity_counts(spark):
+    """Directed fixture: 1→2, 2→1 (reciprocal pair), 1→3, 3→4."""
+    g = graph_from_pairs(spark, [(1, 2), (2, 1), (1, 3), (3, 4)])
+    row = reciprocity(g).collect()[0]
+    assert row["m_edges"] == 4
+    assert row["reciprocal_edges"] == 2
+    assert row["reciprocity"] == pytest.approx(0.5)
+
+
+def test_reciprocity_empty_graph(spark):
+    g = graph_from_pairs(spark, [(1, 1)])  # only a self-loop -> cleaned empty
+    row = reciprocity(g).collect()[0]
+    assert row["m_edges"] == 0 and row["reciprocity"] == 0.0
+
+
+def test_degree_histogram_buckets(spark):
+    """Star with 9 leaves: hub degree 9 -> bucket 3; leaves degree 1 ->
+    bucket 0 (floor(log2(d+0.5)) never sits ON a power of two)."""
+    g = star_graph(spark, 9)
+    got = {r["bucket"]: r for r in degree_histogram(g).collect()}
+    assert set(got) == {0, 3}
+    assert got[0]["n_vertices"] == 9
+    assert got[0]["min_degree"] == got[0]["max_degree"] == 1
+    assert got[3]["n_vertices"] == 1
+    assert got[3]["min_degree"] == 9
+
+
+def test_degree_histogram_power_of_two_boundary(spark):
+    """Degrees exactly at powers of two land in their own bucket:
+    deg 8 -> bucket 3, deg 7 -> bucket 2."""
+    # hub 0 with 8 leaves; hub 100 with 7 leaves
+    pairs = [(0, i) for i in range(1, 9)] + [(100, 100 + i) for i in range(1, 8)]
+    g = graph_from_pairs(spark, pairs)
+    got = {(r["bucket"], r["max_degree"]) for r in degree_histogram(g).collect()}
+    assert (3, 8) in got and (2, 7) in got

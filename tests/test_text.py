@@ -172,3 +172,46 @@ def test_code_segments_vectorized_matches_perdoc_reference():
                 continue
             for g, w, name in zip(got, want, ("ids", "cat", "starts")):
                 assert np.array_equal(g, w), (k, name)
+
+
+def test_pii_stats_counts(spark):
+    """Emails and IPv4s counted as non-overlapping matches; \\b guards
+    reject over-long dotted runs only at word boundaries."""
+    from hoover_spark.functions.text import pii_stats
+
+    rows = [
+        (0, "mail me at a.b-c_d@example.co.uk or x@y.io thanks"),
+        (1, "server 10.0.3.7 and 192.168.1.255 are up"),
+        (2, "no pii here at all"),
+        (3, "mixed: root@host.net from 127.0.0.1"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in pii_stats(df, "doc_id", "text").collect()}
+    assert (got[0]["n_emails"], got[0]["n_ipv4"], got[0]["has_pii"]) == (2, 0, True)
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["has_pii"]) == (0, 2, True)
+    assert (got[2]["n_emails"], got[2]["n_ipv4"], got[2]["has_pii"]) == (0, 0, False)
+    assert (got[3]["n_emails"], got[3]["n_ipv4"], got[3]["has_pii"]) == (1, 1, True)
+    assert got[4]["has_pii"] is False
+
+
+def test_segment_repetition_metrics(spark):
+    from hoover_spark.functions.text import segment_repetition
+
+    rows = [
+        (0, "alpha. beta. alpha.  gamma."),   # 4 segs, 3 distinct
+        (1, "same. same. same."),             # 3 segs, 1 distinct
+        (2, "one sentence no period"),        # 1 seg
+        (3, ""),                              # empty -> all zeros
+        (4, "..."),                           # only empties after trim
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in segment_repetition(df, "doc_id", "text").collect()}
+    assert (got[0]["n_segments"], got[0]["n_distinct"]) == (4, 3)
+    assert got[0]["dup_fraction"] == pytest.approx(0.25)
+    assert got[0]["mean_seg_chars"] == pytest.approx(4.75)  # (5+4+5+5)/4
+    assert (got[1]["n_segments"], got[1]["n_distinct"]) == (3, 1)
+    assert got[1]["dup_fraction"] == pytest.approx(2.0 / 3.0)
+    assert (got[2]["n_segments"], got[2]["dup_fraction"]) == (1, 0.0)
+    for d in (3, 4):
+        assert (got[d]["n_segments"], got[d]["dup_fraction"]) == (0, 0.0)
