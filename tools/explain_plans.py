@@ -218,6 +218,43 @@ def main():
          plan_of(dup_shingle_stats(docs, "doc_id", "text", k=9)))
     )
 
+    # 15. r5b path/link-prediction + corpus-gate ops — BFS rounds must
+    # touch only frontier-adjacent edges (join frontier→sym, anti-join
+    # visited); link_predict is ONE wedge self-join + agg + anti-join;
+    # decontaminate's benchmark side must broadcast so the corpus pass
+    # has no shuffle; pii/segment metrics are map-only codegen scans.
+    from hoover_spark.functions.text import pii_stats, segment_repetition
+    from hoover_spark.operators.dedup import decontaminate
+    from hoover_spark.operators.graph import degree_histogram, reciprocity
+    from hoover_spark.operators.paths import link_predict
+
+    frontier = verts.where(F.col("vid") % 97 == 0)
+    one_round = (
+        g.sym_edges()
+        .join(frontier.select(F.col("vid").alias("src")), on="src")
+        .select(F.col("dst").alias("vid"))
+        .distinct()
+        .join(frontier.select("vid"), on="vid", how="left_anti")
+    )
+    sections.append(("bfs round (frontier join + anti-join visited)", plan_of(one_round)))
+    sections.append(
+        ("link_predict (wedge self-join + RA agg + anti-join edges)",
+         plan_of(link_predict(g, min_common=2)))
+    )
+    sections.append(("reciprocity (reversed-key self-join, one job)", plan_of(reciprocity(g))))
+    sections.append(("degree_histogram (degree agg + bucket agg)", plan_of(degree_histogram(g))))
+    bench_docs = docs.where(F.col("doc_id") % 37 == 0)
+    train_docs = docs.where(F.col("doc_id") % 37 != 0)
+    sections.append(
+        ("decontaminate (broadcast benchmark code set)",
+         plan_of(decontaminate(train_docs, bench_docs, "doc_id", "text", k=12)))
+    )
+    sections.append(("pii_stats (map-only regex scan)", plan_of(pii_stats(docs, "doc_id", "text"))))
+    sections.append(
+        ("segment_repetition (map-only array exprs)",
+         plan_of(segment_repetition(docs, "doc_id", "text")))
+    )
+
     report = []
     for title, plan in sections:
         checks = {
