@@ -483,6 +483,28 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_random_walks_3(spark, sf_dir):
+    """Deterministic DeepWalk-style walk corpus: 2 walks × 3 steps from
+    the vid%29==0 starts; neighbor choice = LCG mix mod degree against
+    the dst-sorted adjacency (``operators/paths.py:random_walks``), so
+    a SQL oracle replays every step exactly."""
+    from hoover_spark.operators.paths import random_walks
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    starts = g.vertices().where(F.col("vid") % 29 == 0)
+    return random_walks(g, starts, walk_length=3, walks_per_vertex=2)
+
+
+def q_anf_2(spark, sf_dir):
+    """Exact 2-hop neighborhood size per vertex (ANF point; Palmer et
+    al. 2002) — the oracle-checkable small-h twin of the HyperBall
+    sketch path (``operators/paths.py:neighborhood_function``)."""
+    from hoover_spark.operators.paths import neighborhood_function
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return neighborhood_function(g, h=2)
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs, "doc_id", "text").select(
@@ -1210,6 +1232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "segment_repetition": q_segment_repetition,
         "decontaminate": q_decontaminate,
+        "random_walks_3": q_random_walks_3,
+        "anf_2": q_anf_2,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1790,6 +1814,39 @@ SELECT t.doc_id AS doc_id,
        CAST(coalesce(ht.n_hits, 0) AS BIGINT) AS n_hits,
        coalesce(ht.n_hits, 0) > 0 AS contaminated
 FROM tr t LEFT JOIN pd ON t.doc_id = pd.id LEFT JOIN ht ON t.doc_id = ht.id
+""",
+        "random_walks_3": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+deg AS (SELECT src AS vid, count(*) AS degree FROM sym GROUP BY 1),
+adj AS (SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+        FROM sym),
+st AS (SELECT vid FROM v WHERE vid % 29 = 0),
+w0 AS (SELECT vid * 2 + r AS walk_id, vid AS v
+       FROM st, UNNEST(range(2)) AS _r(r)),
+w1 AS (SELECT w.walk_id, a.dst AS v
+       FROM w0 w JOIN deg d ON w.v = d.vid JOIN adj a ON a.src = w.v
+        AND a.idx = (((w.walk_id % 1000000007) * 40503
+                      + (w.v % 1000000007) * 69069 + 12352) % 1000000007) % d.degree),
+w2 AS (SELECT w.walk_id, a.dst AS v
+       FROM w1 w JOIN deg d ON w.v = d.vid JOIN adj a ON a.src = w.v
+        AND a.idx = (((w.walk_id % 1000000007) * 40503
+                      + (w.v % 1000000007) * 69069 + 24697) % 1000000007) % d.degree),
+w3 AS (SELECT w.walk_id, a.dst AS v
+       FROM w2 w JOIN deg d ON w.v = d.vid JOIN adj a ON a.src = w.v
+        AND a.idx = (((w.walk_id % 1000000007) * 40503
+                      + (w.v % 1000000007) * 69069 + 37042) % 1000000007) % d.degree)
+SELECT walk_id, CAST(0 AS BIGINT) AS step, v AS vid FROM w0
+UNION ALL SELECT walk_id, CAST(1 AS BIGINT), v FROM w1
+UNION ALL SELECT walk_id, CAST(2 AS BIGINT), v FROM w2
+UNION ALL SELECT walk_id, CAST(3 AS BIGINT), v FROM w3
+""",
+        "anf_2": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+p AS (SELECT vid AS src, vid AS dst FROM v
+      UNION SELECT src, dst FROM sym
+      UNION SELECT a.src, b.dst FROM sym a JOIN sym b ON a.dst = b.src)
+SELECT src AS vid, count(*) AS nf FROM p GROUP BY 1
 """,
         "dup_ngram_fraction": f"""
 WITH {_shingle_sql(k=9)},

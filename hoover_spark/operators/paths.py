@@ -165,3 +165,158 @@ def link_predict(
         F.col("common_neighbors").cast("long").alias("common_neighbors"),
         *[f"{s}_score" for s in scores],
     )
+
+
+WALK_P = 1_000_000_007
+_WALK_A = 40503
+_WALK_B = 69069
+_WALK_C = 12345
+
+
+def random_walks(
+    graph: Graph,
+    starts: DataFrame,
+    walk_length: int,
+    walks_per_vertex: int = 1,
+    loop: IterationLoop | None = None,
+) -> DataFrame:
+    """Deterministic random walks over the undirected graph — the
+    corpus generator for skip-gram / node2vec-style graph embeddings
+    (Perozzi et al. 2014 DeepWalk; public method). Returns
+    ``(walk_id: long, step: long, vid: long)`` — ``walks_per_vertex``
+    walks of ``walk_length`` steps from every start vertex.
+
+    Determinism (the engine-wide rule: identical results at any
+    parallelism, and SQL-oracle-checkable): the "random" neighbor at
+    step t of walk w sitting on vertex v is
+
+        idx = H(w, v, t) mod deg(v),
+        H   = (w·A + v·B + t·C + 7) mod P   (all mod-P, overflow-safe)
+
+    against the neighbor list sorted by dst — an LCG-style mix, not
+    crypto, exactly like the reference's deterministic per-actor PRNG
+    seeding (``test/pas.cpp`` seeds per-agent; SURVEY §2.7).
+
+    Plan: the indexed adjacency ``(src, dst, idx)`` is built ONCE with
+    a row_number window partitioned by src (one shuffle+sort, the same
+    per-vertex grouping the CSR blocks use) and persisted; each step
+    is one equi-join of the walk frontier (small side) against it on
+    ``(src, idx)`` — at 100 TB the frontier side is
+    |starts|·walks_per_vertex rows regardless of |E|, so every step is
+    a frontier-sized probe of the big cached side, never an O(|E|)
+    pass. Walks never die: every vertex of the symmetric view has
+    deg ≥ 1.
+    """
+    from pyspark.sql import Window
+
+    spark = graph.edges.sparkSession
+    loop = loop or IterationLoop(spark, kernel="walks", max_iterations=walk_length)
+
+    sym = graph.sym_edges().select("src", "dst")
+    w_src = Window.partitionBy("src").orderBy("dst")
+    adj = sym.select(
+        "src", "dst", (F.row_number().over(w_src) - 1).alias("idx")
+    )
+    deg = graph.degrees()  # (vid, degree)
+
+    starts_v = starts.select(F.col("vid").cast("long").alias("vid")).distinct()
+    r = spark.range(walks_per_vertex).select(F.col("id").alias("r"))
+    state = loop.hold(
+        starts_v.crossJoin(F.broadcast(r)).select(
+            (F.col("vid") * walks_per_vertex + F.col("r")).alias("walk_id"),
+            F.col("vid").alias("v"),
+        )
+    )
+    out = state.select("walk_id", F.lit(0).cast("long").alias("step"), F.col("v").alias("vid"))
+
+    watch = StopWatch()
+    for t in range(1, walk_length + 1):
+        h = F.pmod(
+            F.pmod(F.col("walk_id"), F.lit(WALK_P)) * _WALK_A
+            + F.pmod(F.col("v"), F.lit(WALK_P)) * _WALK_B
+            + F.lit(t * _WALK_C + 7),
+            F.lit(WALK_P),
+        )
+        picked = (
+            state.join(deg.select(F.col("vid").alias("v"), "degree"), on="v")
+            .select("walk_id", F.col("v").alias("src"), F.pmod(h, F.col("degree")).alias("idx"))
+            .join(adj, on=["src", "idx"])
+            .select("walk_id", F.col("dst").alias("v"))
+        )
+        state, stats = loop.hold_observed(picked, F.count(F.lit(1)).alias("n_walks"))
+        loop.log(
+            iteration=t,
+            rows_shuffled=int(stats["n_walks"] or 0),
+            delta_norm=0.0,
+            frontier_size=int(stats["n_walks"] or 0),
+            wall_ms=watch.lap_ms(),
+        )
+        out = out.unionByName(
+            state.select("walk_id", F.lit(t).cast("long").alias("step"), F.col("v").alias("vid"))
+        )
+
+    return loop.finish(out, walk_length)
+
+
+def neighborhood_function(graph: Graph, h: int) -> DataFrame:
+    """EXACT h-hop neighborhood size per vertex (h ∈ {1, 2}):
+    ``(vid, nf)`` with ``nf = |{w : dist(v, w) ≤ h}|`` counting the
+    vertex itself — the per-vertex point of the Approximate
+    Neighbourhood Function / effective-diameter family (Palmer et al.
+    2002 ANF; Boldi et al. 2011 HyperBall).
+
+    This exact form materializes the h-hop pair set (O(Σ deg^h) rows)
+    — the ORACLE-CHECKABLE small-h variant. At 100 TB / h > 2 use
+    :func:`hyperball`, which carries a constant-size HLL sketch per
+    vertex instead of the pair set.
+    """
+    if h not in (1, 2):
+        raise ValueError("exact neighborhood_function supports h=1 or 2; use hyperball")
+    sym = graph.sym_edges().select("src", "dst")
+    pairs = graph.vertices().select(
+        F.col("vid").alias("src"), F.col("vid").alias("dst")
+    ).unionByName(sym)
+    if h == 2:
+        two = sym.alias("a").join(
+            sym.alias("b"), F.col("a.dst") == F.col("b.src")
+        ).select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        pairs = pairs.unionByName(two)
+    return (
+        pairs.distinct()
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.count(F.lit(1)).alias("nf"))
+    )
+
+
+def hyperball(graph: Graph, h: int, lgk: int = 12) -> DataFrame:
+    """HyperBall (Boldi, Rosa & Vigna 2011): per-vertex h-hop
+    neighborhood-size ESTIMATES via iterated HyperLogLog union —
+    ``(vid, nf_estimate: double)``.
+
+    State is one constant-size HLL sketch per vertex (``lgk=12`` ⇒
+    4 KB dense, bytes while sparse); iteration t unions each vertex's
+    sketch with its neighbors' via ``hll_union_agg`` — a single
+    groupBy per round, exactly the WCC message shape with sketch-merge
+    instead of min. This is THE 100 TB-scale neighborhood-function
+    plan: O(|V|) state, O(|E|) sketch shuffle per round, no pair-set
+    blowup, registers merged JVM-side (Datasketches), no Python.
+    """
+    sym = graph.sym_edges().select("src", "dst")
+    # seed sketches: one-row-per-vertex sketch of {vid}
+    state = (
+        graph.vertices()
+        .groupBy("vid")
+        .agg(F.hll_sketch_agg(F.col("vid"), F.lit(lgk)).alias("sketch"))
+    )
+    for _ in range(h):
+        msgs = sym.join(
+            state.select(F.col("vid").alias("src"), "sketch"), on="src"
+        ).select(F.col("dst").alias("vid"), "sketch")
+        state = (
+            state.unionByName(msgs)
+            .groupBy("vid")
+            .agg(F.hll_union_agg(F.col("sketch"), F.lit(True)).alias("sketch"))
+        ).localCheckpoint(eager=True)
+    return state.select(
+        "vid", F.hll_sketch_estimate(F.col("sketch")).alias("nf_estimate")
+    )

@@ -168,3 +168,101 @@ def test_degree_histogram_power_of_two_boundary(spark):
     g = graph_from_pairs(spark, pairs)
     got = {(r["bucket"], r["max_degree"]) for r in degree_histogram(g).collect()}
     assert (3, 8) in got and (2, 7) in got
+
+
+def walks_oracle(pairs, starts, walk_length, walks_per_vertex):
+    """Replays the deterministic LCG walk in pure python."""
+    P, A, B, C = 1_000_000_007, 40503, 69069, 12345
+    adj = defaultdict(set)
+    for s, d in pairs:
+        adj[s].add(d)
+        adj[d].add(s)
+    out = {}
+    for v0 in starts:
+        for r in range(walks_per_vertex):
+            wid = v0 * walks_per_vertex + r
+            v = v0
+            out[(wid, 0)] = v
+            for t in range(1, walk_length + 1):
+                nbrs = sorted(adj[v])
+                h = ((wid % P) * A + (v % P) * B + t * C + 7) % P
+                v = nbrs[h % len(nbrs)]
+                out[(wid, t)] = v
+    return out
+
+
+def test_random_walks_match_python_replay(spark):
+    from hoover_spark.operators.paths import random_walks
+
+    g = rmat_graph(spark, scale=6, edge_factor=4)
+    pairs = edges_to_pairs(g)
+    starts_py = sorted({v for e in pairs for v in e if v % 7 == 0})
+    starts = spark.createDataFrame([(v,) for v in starts_py], "vid long")
+    got = {
+        (r["walk_id"], r["step"]): r["vid"]
+        for r in random_walks(g, starts, walk_length=4, walks_per_vertex=2).collect()
+    }
+    assert got == walks_oracle(pairs, starts_py, 4, 2)
+
+
+def test_random_walks_never_die(spark):
+    """Every (walk, step) pair present: walks can't fall off the graph
+    (symmetric view has deg >= 1 everywhere)."""
+    from hoover_spark.operators.paths import random_walks
+
+    g = path_graph(spark, 6)
+    starts = spark.createDataFrame([(0,), (5,)], "vid long")
+    rows = random_walks(g, starts, walk_length=5, walks_per_vertex=3).collect()
+    assert len(rows) == 2 * 3 * 6  # starts x walks x (len+1) steps
+
+
+def nf_oracle(pairs, h):
+    adj = defaultdict(set)
+    for s, d in pairs:
+        adj[s].add(d)
+        adj[d].add(s)
+    out = {}
+    for v in adj:
+        reach = {v}
+        frontier = {v}
+        for _ in range(h):
+            frontier = {w for u in frontier for w in adj[u]} - reach
+            reach |= frontier
+        out[v] = len(reach)
+    return out
+
+
+def test_neighborhood_function_exact(spark):
+    from hoover_spark.operators.paths import neighborhood_function
+
+    g = rmat_graph(spark, scale=6, edge_factor=3)
+    pairs = edges_to_pairs(g)
+    for h in (1, 2):
+        got = {r["vid"]: r["nf"] for r in neighborhood_function(g, h).collect()}
+        assert got == nf_oracle(pairs, h), f"h={h}"
+
+
+def test_hyperball_tracks_exact_nf(spark):
+    """HLL sparse mode is near-exact at fixture cardinalities; at any
+    scale the estimate must sit within HLL's rse envelope (~3% at
+    lgk=12, take 10% slack)."""
+    from hoover_spark.operators.paths import hyperball, neighborhood_function
+
+    g = rmat_graph(spark, scale=7, edge_factor=4)
+    exact = {r["vid"]: r["nf"] for r in neighborhood_function(g, 2).collect()}
+    est = {r["vid"]: r["nf_estimate"] for r in hyperball(g, 2).collect()}
+    assert set(est) == set(exact)
+    for v, nf in exact.items():
+        assert est[v] == pytest.approx(nf, rel=0.10), f"vid={v}"
+
+
+def test_hyperball_h3_monotone(spark):
+    """Estimates grow with h (balls are nested) and cap at |component|."""
+    from hoover_spark.operators.paths import hyperball
+
+    g = path_graph(spark, 8)
+    e2 = {r["vid"]: r["nf_estimate"] for r in hyperball(g, 2).collect()}
+    e3 = {r["vid"]: r["nf_estimate"] for r in hyperball(g, 3).collect()}
+    for v in e2:
+        assert e3[v] >= e2[v] - 1e-9
+        assert e3[v] <= 8 * 1.1
