@@ -505,6 +505,22 @@ def q_anf_2(spark, sf_dir):
     return neighborhood_function(g, h=2)
 
 
+def q_modularity_mod5(spark, sf_dir):
+    """Newman modularity Q of the deterministic vid%5 partition —
+    exact int64 aggregates + one division
+    (``operators/communities.py:modularity``); the same metric a user
+    runs over mode-LP / percolation labels to compare partitions."""
+    from hoover_spark.operators.communities import modularity
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    labels = g.vertices().select(
+        "vid", F.pmod(F.col("vid"), F.lit(5)).alias("label")
+    )
+    return modularity(g, labels).select(
+        "m_edges", "intra_edges", F.round("modularity", 6).alias("modularity")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs, "doc_id", "text").select(
@@ -1234,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "random_walks_3": q_random_walks_3,
         "anf_2": q_anf_2,
+        "modularity_mod5": q_modularity_mod5,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1840,6 +1857,21 @@ SELECT walk_id, CAST(0 AS BIGINT) AS step, v AS vid FROM w0
 UNION ALL SELECT walk_id, CAST(1 AS BIGINT), v FROM w1
 UNION ALL SELECT walk_id, CAST(2 AS BIGINT), v FROM w2
 UNION ALL SELECT walk_id, CAST(3 AS BIGINT), v FROM w3
+""",
+        "modularity_mod5": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+canon AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d FROM e0),
+deg AS (SELECT src AS vid, count(*) AS degree FROM sym GROUP BY 1),
+es AS (SELECT count(*) AS m,
+              sum(CASE WHEN s % 5 = d % 5 THEN 1 ELSE 0 END) AS intra
+       FROM canon),
+dc AS (SELECT vid % 5 AS label, sum(degree) AS dcs FROM deg GROUP BY 1),
+d2 AS (SELECT sum(dcs * dcs) AS sum_dc2 FROM dc)
+SELECT CAST(m AS BIGINT) AS m_edges, CAST(intra AS BIGINT) AS intra_edges,
+       CASE WHEN m > 0
+            THEN round(CAST(4 * m * intra - sum_dc2 AS DOUBLE) / (4 * m * m), 6)
+            ELSE 0.0 END AS modularity
+FROM es, d2
 """,
         "anf_2": f"""
 WITH {_CUSTOMER_EDGES_SQL},

@@ -5,6 +5,7 @@ import math
 from collections import defaultdict, deque
 
 import pytest
+from pyspark.sql import functions as F
 
 from hoover_spark.operators.graph import (
     Graph,
@@ -266,3 +267,98 @@ def test_hyperball_h3_monotone(spark):
     for v in e2:
         assert e3[v] >= e2[v] - 1e-9
         assert e3[v] <= 8 * 1.1
+
+
+def brandes_oracle(pairs, sources):
+    """Textbook Brandes (2001) over the symmetrized graph, halved for
+    undirected double counting; contributions only from `sources`."""
+    adj = defaultdict(set)
+    for s, d in pairs:
+        adj[s].add(d)
+        adj[d].add(s)
+    bc = {v: 0.0 for v in adj}
+    for s in sources:
+        stack, preds = [], defaultdict(list)
+        sigma = defaultdict(int)
+        dist = {s: 0}
+        sigma[s] = 1
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        for w in reversed(stack):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w] / 2.0
+    return bc
+
+
+def test_betweenness_all_sources_path(spark):
+    """Path 0-1-2-3-4: exact bc = (0, 3, 4, 3, 0)."""
+    from hoover_spark.operators.paths import betweenness
+
+    g = path_graph(spark, 5)
+    sources = spark.createDataFrame([(v,) for v in range(5)], "vid long")
+    got = {r["vid"]: r["bc"] for r in betweenness(g, sources).collect()}
+    assert got == pytest.approx({0: 0.0, 1: 3.0, 2: 4.0, 3: 3.0, 4: 0.0})
+
+
+def test_betweenness_sampled_rmat(spark):
+    from hoover_spark.operators.paths import betweenness
+
+    g = rmat_graph(spark, scale=6, edge_factor=3)
+    pairs = edges_to_pairs(g)
+    srcs = sorted({v for e in pairs for v in e if v % 5 == 0})
+    sources = spark.createDataFrame([(v,) for v in srcs], "vid long")
+    want = brandes_oracle(pairs, srcs)
+    got = {r["vid"]: r["bc"] for r in betweenness(g, sources).collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), f"vid={v}"
+
+
+def test_betweenness_star_hub(spark):
+    """Star: the hub carries all C(n,2) pair paths; leaves carry 0."""
+    from hoover_spark.operators.paths import betweenness
+
+    g = star_graph(spark, 6)
+    vids = [0] + list(range(1, 7))
+    sources = spark.createDataFrame([(v,) for v in vids], "vid long")
+    got = {r["vid"]: r["bc"] for r in betweenness(g, sources).collect()}
+    assert got[0] == pytest.approx(15.0)  # C(6,2)
+    for leaf in range(1, 7):
+        assert got[leaf] == pytest.approx(0.0)
+
+
+def test_modularity_two_cliques(spark):
+    """Two disjoint 4-cliques, partition = component: I = m, D_c = 12
+    each, Q = 1 - 2*(12/24)^2 = 0.5."""
+    from hoover_spark.operators.communities import modularity
+
+    g = two_cliques(spark, k=4, bridge=False)  # vertices 0..3 and 4..7
+    labels = g.vertices().select(
+        "vid", F.floor(F.col("vid") / 4).cast("long").alias("label")
+    )
+    row = modularity(g, labels).collect()[0]
+    assert row["m_edges"] == 12 and row["intra_edges"] == 12
+    assert row["modularity"] == pytest.approx(0.5)
+
+
+def test_modularity_singleton_partition_is_negative(spark):
+    """Every vertex its own community: I = 0, Q = -Σ deg²/(4m²) < 0."""
+    from hoover_spark.operators.communities import modularity
+
+    g = path_graph(spark, 4)  # degrees 1,2,2,1; m=3
+    labels = g.vertices().select("vid", F.col("vid").alias("label"))
+    row = modularity(g, labels).collect()[0]
+    assert row["intra_edges"] == 0
+    assert row["modularity"] == pytest.approx(-(1 + 4 + 4 + 1) / 36.0)
