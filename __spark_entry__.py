@@ -521,6 +521,43 @@ def q_modularity_mod5(spark, sf_dir):
     )
 
 
+def q_harmonic_2hop(spark, sf_dir):
+    """Bounded harmonic centrality hc = n1 + n2/2 over the customer
+    graph (``operators/paths.py:harmonic_centrality_2hop``); exact
+    int64 hop counts, one division."""
+    from hoover_spark.operators.paths import harmonic_centrality_2hop
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return harmonic_centrality_2hop(g).select(
+        "vid", "n1", "n2", F.round("hc", 6).alias("hc")
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Temporal graph diff: the events-derived edge set in window A
+    (event_id%4<2) vs window B (event_id%4>0) — added/removed/kept per
+    edge via ONE full-outer join
+    (``operators/paths.py:snapshot_diff``)."""
+    from hoover_spark.operators.paths import snapshot_diff
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct().count()
+
+    def edges(cond):
+        return (
+            ev.where(cond)
+            .select(
+                F.col("user_id").alias("src"),
+                F.pmod(F.col("event_id") * 7919 + 13, F.lit(u)).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+        )
+
+    return snapshot_diff(
+        edges(F.col("event_id") % 4 < 2), edges(F.col("event_id") % 4 > 0)
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs, "doc_id", "text").select(
@@ -1251,6 +1288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_3": q_random_walks_3,
         "anf_2": q_anf_2,
         "modularity_mod5": q_modularity_mod5,
+        "harmonic_2hop": q_harmonic_2hop,
+        "snapshot_diff": q_snapshot_diff,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1872,6 +1911,40 @@ SELECT CAST(m AS BIGINT) AS m_edges, CAST(intra AS BIGINT) AS intra_edges,
             THEN round(CAST(4 * m * intra - sum_dc2 AS DOUBLE) / (4 * m * m), 6)
             ELSE 0.0 END AS modularity
 FROM es, d2
+""",
+        "harmonic_2hop": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+one AS (SELECT src AS vid, dst AS w FROM sym),
+two AS (
+  SELECT DISTINCT a.src AS vid, b.dst AS w
+  FROM sym a JOIN sym b ON a.dst = b.src
+  WHERE a.src <> b.dst
+  EXCEPT SELECT vid, w FROM one
+),
+c1 AS (SELECT vid, count(*) AS n1 FROM one GROUP BY 1),
+c2 AS (SELECT vid, count(*) AS n2 FROM two GROUP BY 1)
+SELECT v.vid,
+       CAST(coalesce(c1.n1, 0) AS BIGINT) AS n1,
+       CAST(coalesce(c2.n2, 0) AS BIGINT) AS n2,
+       round(coalesce(c1.n1, 0) + CAST(coalesce(c2.n2, 0) AS DOUBLE) / 2, 6) AS hc
+FROM v LEFT JOIN c1 ON v.vid = c1.vid LEFT JOIN c2 ON v.vid = c2.vid
+""",
+        "snapshot_diff": """
+WITH un AS (SELECT count(DISTINCT user_id) AS u FROM events),
+ea AS (SELECT DISTINCT user_id AS src,
+              (event_id*7919+13) % (SELECT u FROM un) AS dst
+       FROM events WHERE event_id % 4 < 2
+         AND user_id <> (event_id*7919+13) % (SELECT u FROM un)),
+eb AS (SELECT DISTINCT user_id AS src,
+              (event_id*7919+13) % (SELECT u FROM un) AS dst
+       FROM events WHERE event_id % 4 > 0
+         AND user_id <> (event_id*7919+13) % (SELECT u FROM un)),
+j AS (SELECT coalesce(ea.src, eb.src) AS src, coalesce(ea.dst, eb.dst) AS dst,
+             CASE WHEN ea.src IS NULL THEN 'added'
+                  WHEN eb.src IS NULL THEN 'removed'
+                  ELSE 'kept' END AS status
+      FROM ea FULL OUTER JOIN eb ON ea.src = eb.src AND ea.dst = eb.dst)
+SELECT src, dst, status FROM j
 """,
         "anf_2": f"""
 WITH {_CUSTOMER_EDGES_SQL},

@@ -443,3 +443,74 @@ def betweenness(
         n_s = sources.select("vid").distinct().count()
         out = out.select("vid", (F.col("bc") * F.lit(n_v / n_s)).alias("bc"))
     return loop.finish(out, len(layers))
+
+
+def harmonic_centrality_2hop(graph: Graph) -> DataFrame:
+    """Bounded harmonic centrality: ``hc(v) = Σ_{w≠v, d(v,w)≤2} 1/d(v,w)``
+    (Boldi & Vigna 2014's axiom-preferred centrality, truncated at two
+    hops — the standard cheap proxy on small-world link graphs, where
+    most of the harmonic mass sits within the first hops).
+
+    Returns ``(vid, n1, n2, hc)``: direct neighbors, strict-2-hop
+    count, and ``hc = n1 + n2/2`` — exact int64 counts + one division.
+
+    Plan: the 1-hop set is the degree agg; the strict 2-hop set is one
+    edge self-join + distinct minus neighbors — the same O(Σ deg²)
+    pair materialization as exact ANF (at 100 TB, swap the pair set
+    for :func:`hyperball` sketches per radius and take estimate
+    differences).
+    """
+    sym = graph.sym_edges().select("src", "dst")
+    one = sym.select(F.col("src").alias("vid"), F.col("dst").alias("w"))
+    two = (
+        sym.alias("a")
+        .join(sym.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("vid"), F.col("b.dst").alias("w"))
+        .where(F.col("vid") != F.col("w"))
+        .distinct()
+        .join(one, on=["vid", "w"], how="left_anti")
+    )
+    n1 = one.groupBy("vid").agg(F.count(F.lit(1)).alias("n1"))
+    n2 = two.groupBy("vid").agg(F.count(F.lit(1)).alias("n2"))
+    return (
+        graph.vertices()
+        .join(n1, on="vid", how="left")
+        .join(n2, on="vid", how="left")
+        .select(
+            "vid",
+            F.coalesce("n1", F.lit(0)).cast("long").alias("n1"),
+            F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
+            (
+                F.coalesce("n1", F.lit(0)).cast("double")
+                + F.coalesce("n2", F.lit(0)).cast("double") / F.lit(2.0)
+            ).alias("hc"),
+        )
+    )
+
+
+def snapshot_diff(
+    edges_a: DataFrame, edges_b: DataFrame
+) -> DataFrame:
+    """Temporal link-graph diff: compare two edge snapshots (e.g. the
+    reference graph at two commit windows) and label every edge
+    ``added`` (in B only), ``removed`` (in A only) or ``kept`` — the
+    batch twin of the streaming ingest path's per-batch delta, for
+    users diffing two materialized crawls instead of replaying a
+    stream.
+
+    Inputs are ``(src, dst)`` DataFrames (deduped by the op). Plan:
+    one full-outer join on the edge key — a single co-partitioned
+    shuffle of both sides; at 10¹² edges both sides bucket by (src,
+    dst) so the join is shuffle-free on arrival.
+    """
+    a = edges_a.select("src", "dst").distinct().withColumn("in_a", F.lit(1))
+    b = edges_b.select("src", "dst").distinct().withColumn("in_b", F.lit(1))
+    joined = a.join(b, on=["src", "dst"], how="full_outer")
+    return joined.select(
+        "src",
+        "dst",
+        F.when(F.col("in_a").isNull(), F.lit("added"))
+        .when(F.col("in_b").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )

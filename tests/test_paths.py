@@ -362,3 +362,46 @@ def test_modularity_singleton_partition_is_negative(spark):
     row = modularity(g, labels).collect()[0]
     assert row["intra_edges"] == 0
     assert row["modularity"] == pytest.approx(-(1 + 4 + 4 + 1) / 36.0)
+
+
+def test_harmonic_2hop_path(spark):
+    """Path 0-1-2-3: hc(0) = 1 + 1/2 (strict 2-hop = {2}); hc(1) = 2 + 1/2."""
+    from hoover_spark.operators.paths import harmonic_centrality_2hop
+
+    g = path_graph(spark, 4)
+    got = {r["vid"]: (r["n1"], r["n2"], r["hc"]) for r in harmonic_centrality_2hop(g).collect()}
+    assert got[0] == (1, 1, pytest.approx(1.5))
+    assert got[1] == (2, 1, pytest.approx(2.5))
+    assert got[2] == (2, 1, pytest.approx(2.5))
+    assert got[3] == (1, 1, pytest.approx(1.5))
+
+
+def test_harmonic_2hop_matches_nf(spark):
+    """hc must equal (nf1-1) + (nf2-nf1)/2 computed from the exact
+    neighborhood function — two independent derivations."""
+    from hoover_spark.operators.paths import (
+        harmonic_centrality_2hop,
+        neighborhood_function,
+    )
+
+    g = rmat_graph(spark, scale=6, edge_factor=3)
+    nf1 = {r["vid"]: r["nf"] for r in neighborhood_function(g, 1).collect()}
+    nf2 = {r["vid"]: r["nf"] for r in neighborhood_function(g, 2).collect()}
+    got = {r["vid"]: r["hc"] for r in harmonic_centrality_2hop(g).collect()}
+    for v in nf1:
+        want = (nf1[v] - 1) + (nf2[v] - nf1[v]) / 2.0
+        assert got[v] == pytest.approx(want), f"vid={v}"
+
+
+def test_snapshot_diff_statuses(spark):
+    from hoover_spark.operators.paths import snapshot_diff
+
+    a = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    b = spark.createDataFrame([(2, 3), (3, 4), (9, 9)], "src long, dst long")
+    got = {(r["src"], r["dst"]): r["status"] for r in snapshot_diff(a, b).collect()}
+    assert got == {
+        (1, 2): "removed",
+        (2, 3): "kept",
+        (3, 4): "kept",
+        (9, 9): "added",
+    }
