@@ -255,6 +255,47 @@ def main():
          plan_of(segment_repetition(docs, "doc_id", "text")))
     )
 
+    # 16. r5c path/centrality wave — walks: each step must be a
+    # frontier-sized probe of the indexed adjacency (never O(|E|));
+    # betweenness forward round: one edge join + (s,vid) agg;
+    # harmonic/anf: the pair materialization is the documented small-h
+    # form (hyperball is the sketch path); modularity: two label joins
+    # + global agg; snapshot_diff: ONE full-outer join.
+    from hoover_spark.operators.communities import modularity
+    from hoover_spark.operators.paths import (
+        harmonic_centrality_2hop,
+        hyperball,
+        neighborhood_function,
+        random_walks,
+        snapshot_diff,
+    )
+
+    starts = verts.where(F.col("vid") % 29 == 0)
+    sections.append(
+        ("random_walks (frontier probe joins per step)",
+         plan_of(random_walks(g, starts, walk_length=2)))
+    )
+    sections.append(
+        ("neighborhood_function h=2 (exact pair set, small-h form)",
+         plan_of(neighborhood_function(g, 2)))
+    )
+    sections.append(
+        ("hyperball h=1 (hll_union_agg sketch merge — the at-scale ANF)",
+         plan_of(hyperball(g, 1)))
+    )
+    sections.append(
+        ("modularity (two label joins + exact moment agg)",
+         plan_of(modularity(g, verts.select("vid", F.pmod(F.col("vid"), F.lit(5)).alias("label")))))
+    )
+    sections.append(
+        ("harmonic_centrality_2hop (1-hop agg + strict 2-hop anti-join)",
+         plan_of(harmonic_centrality_2hop(g)))
+    )
+    sections.append(
+        ("snapshot_diff (single full-outer join)",
+         plan_of(snapshot_diff(edges.limit(100000), edges)))
+    )
+
     report = []
     for title, plan in sections:
         checks = {
