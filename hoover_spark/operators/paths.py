@@ -1,4 +1,6 @@
-"""Multi-source BFS hop distances and neighborhood link prediction.
+"""Path/centrality kernels: multi-source BFS, link prediction,
+deterministic random walks, neighborhood function (exact + HyperBall),
+sampled-Brandes betweenness, harmonic centrality, snapshot diff.
 
 Reference mapping: HOOVER's traversal primitive is the per-iteration
 neighbor gather (``hvr_get_neighbors``, ``src/hoover.cpp:603-622``)
