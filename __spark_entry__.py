@@ -1118,11 +1118,14 @@ def _pas_trace(spark, sf_dir):
         from hoover_spark.operators.pas import pas_simulate
 
         # one live trace at a time (bounded memory): evict BEFORE the
-        # new simulation runs, and explicitly unpersist the evicted
-        # trace's per-step checkpointed frames — clear() alone only
-        # drops the Python refs and leaves the RDD blocks to lazy
-        # GC/ContextCleaner, so alternating sf_dirs could transiently
-        # hold two full 5-step traces in executor memory (r4 ADVICE)
+        # new simulation runs. Honest limit (r5 review): Dataset
+        # .unpersist() cannot reach RDD-level localCheckpoint blocks,
+        # so the calls below are best-effort (they clear CacheManager
+        # entries only); the blocks themselves are reclaimed by
+        # ContextCleaner once clear() drops the last Python refs. The
+        # cache is capped at ONE entry, so the transient worst case is
+        # two traces coexisting until the next GC cycle — bounded, and
+        # the eviction-before-run ordering keeps that window shortest.
         for _, _, old_ckpts in _PAS_TRACE_CACHE.values():
             for part in old_ckpts:
                 try:
@@ -1436,10 +1439,15 @@ FROM h{k} JOIN a{k} ON h{k}.vid = a{k}.vid
 """
 
 
-def _kcore_sql(k: int = 3, rounds: int = 10) -> str:
+def _kcore_sql(k: int = 3, rounds: int = 16) -> str:
     """Unrolled k-core peeling on the customer graph. Peeling is
     monotone, so unrolling past the fixpoint is a no-op: sf0.01
-    converges in 3 rounds, ``rounds=10`` leaves 3x margin.
+    converges in 3 rounds, ``rounds=16`` leaves >5x margin. (Peel
+    depth is structure-dependent — a chain periphery peels one layer
+    per round — so the margin is the guard against a larger sf
+    needing more rounds than the oracle unrolls while the Spark
+    kernel, which iterates to its own fixpoint, keeps going; r5
+    review.)
 
     Each ``a{{r}}`` is referenced twice by round r+1; DuckDB inlines
     CTEs by default, so without MATERIALIZED the plan re-evaluates the
@@ -1487,11 +1495,12 @@ SELECT vid, round(rank, 6) AS rank FROM r{n_iterations}
 """
 
 
-def _ktruss_sql(k: int = 4, rounds: int = 5) -> str:
+def _ktruss_sql(k: int = 4, rounds: int = 8) -> str:
     """Unrolled k-truss peeling on the circulant graph: each round
     recomputes per-edge triangle support within the alive set and
     drops edges under k-2. Monotone, so over-unrolling is a no-op
-    (the circulant fixpoint lands in round 2; 5 leaves margin).
+    (the circulant fixpoint lands in round 2; 8 leaves 4x margin —
+    peel depth is structure-dependent, see :func:`_kcore_sql`).
     MATERIALIZED for the same 2^rounds re-inlining reason as
     :func:`_kcore_sql`."""
     ctes = ["a0 AS MATERIALIZED (SELECT src, dst FROM canon)"]

@@ -407,7 +407,11 @@ def tf_idf_top_terms(
     """
     from pyspark.sql import Window
 
-    n_docs = df.count()
+    # document count folded into the plan as a 1-row broadcast (the
+    # hits L2-norm pattern) instead of an eager df.count() — keeps the
+    # function lazy and avoids computing a non-trivial upstream
+    # pipeline twice (r5 review)
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -415,8 +419,11 @@ def tf_idf_top_terms(
         ).alias("tok"),
     ).select("id", F.lower("tok").alias("term"))
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    idf = tf.groupBy("term").agg(
-        F.log(F.lit(float(n_docs)) / F.count(F.lit(1))).alias("idf")
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df_t"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("term", F.log(F.col("_n_docs") / F.col("_df_t")).alias("idf"))
     )
     scored = tf.join(idf, on="term").select(
         "id", "term", F.round(F.col("tf") * F.col("idf"), 6).alias("score")

@@ -121,9 +121,13 @@ def pattern_counts(
         )
     e = e.localCheckpoint()
     if max_degree is not None:
-        # e's lineage is truncated by its own checkpoint — keep's
-        # blocks can go immediately rather than waiting on GC
+        # best-effort: Dataset.unpersist() cannot reach RDD-level
+        # localCheckpoint blocks (verified: the RDD stays in
+        # getRDDStorageInfo afterwards) — keep's blocks are actually
+        # reclaimed by ContextCleaner once this Python ref drops; the
+        # call below only clears any CacheManager entry
         keep.unpersist()
+        del keep
 
     nil = F.lit(None).cast("long")
     frontier = vertices.select(

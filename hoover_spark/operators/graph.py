@@ -327,9 +327,13 @@ def degree_assortativity(graph: Graph) -> DataFrame:
     D ≈ 10⁴ switch the moment sums to double (documented trade: ~1 ulp
     per 2⁵³, far below the 6-dp contract precision).
     """
+    # persisted hash-partitioned view, like every other kernel: the
+    # two degree joins below must not re-run the dedup/symmetrize
+    # shuffles per join (exchange reuse is not guaranteed under AQE)
+    sym = graph.sym_edges()
     deg = graph.degrees()
     e = (
-        graph.symmetric()
+        sym
         .join(
             deg.select(F.col("vid").alias("src"), F.col("degree").alias("ds")),
             on="src",
@@ -377,7 +381,11 @@ def reciprocity(graph: Graph) -> DataFrame:
     ).withColumn("has_rev", F.lit(1))
     sums = e.join(rev, on=["src", "dst"], how="left").agg(
         F.count(F.lit(1)).alias("m"),
-        F.sum(F.coalesce("has_rev", F.lit(0))).alias("rec"),
+        # outer coalesce: SUM over ZERO rows (empty cleaned set) is
+        # NULL, which the per-row coalesce can't see
+        F.coalesce(
+            F.sum(F.coalesce("has_rev", F.lit(0))), F.lit(0)
+        ).alias("rec"),
     )
     return sums.select(
         F.col("m").cast("long").alias("m_edges"),

@@ -95,25 +95,35 @@ def personalized_pagerank(
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.sum("w").alias("in_sum"), F.count(F.lit(1)).alias("msg_cnt"))
         )
-        stepped = state.join(sums, on="vid", how="left").select(
-            "vid",
-            "p",
-            "out_deg",
-            (
-                F.lit(1.0 - alpha) * F.col("p")
-                + F.lit(alpha)
-                * (
-                    F.coalesce("in_sum", F.lit(0.0))
-                    + F.lit(dangling) * F.col("p")
-                )
-            ).alias("rank"),
-            F.abs(
-                F.lit(1.0 - alpha) * F.col("p")
-                + F.lit(alpha)
-                * (F.coalesce("in_sum", F.lit(0.0)) + F.lit(dangling) * F.col("p"))
-                - F.col("rank")
-            ).alias("_d"),
-            F.coalesce("msg_cnt", F.lit(0)).alias("_m"),
+        # rank formula written ONCE; the convergence delta differences
+        # it against the carried previous rank in a follow-up select
+        # (the pagerank kernel's shape — a single expression tree, no
+        # copy-drift between the rank and its reported delta)
+        stepped = (
+            state.join(sums, on="vid", how="left")
+            .select(
+                "vid",
+                "p",
+                "out_deg",
+                F.col("rank").alias("_prev"),
+                (
+                    F.lit(1.0 - alpha) * F.col("p")
+                    + F.lit(alpha)
+                    * (
+                        F.coalesce("in_sum", F.lit(0.0))
+                        + F.lit(dangling) * F.col("p")
+                    )
+                ).alias("rank"),
+                F.coalesce("msg_cnt", F.lit(0)).alias("_m"),
+            )
+            .select(
+                "vid",
+                "p",
+                "out_deg",
+                "rank",
+                F.abs(F.col("rank") - F.col("_prev")).alias("_d"),
+                "_m",
+            )
         )
         new_state, stats = loop.hold_observed(
             stepped,

@@ -147,6 +147,8 @@ def test_reciprocity_empty_graph(spark):
     g = graph_from_pairs(spark, [(1, 1)])  # only a self-loop -> cleaned empty
     row = reciprocity(g).collect()[0]
     assert row["m_edges"] == 0 and row["reciprocity"] == 0.0
+    # SUM over zero rows is NULL unless coalesced at the agg level
+    assert row["reciprocal_edges"] == 0
 
 
 def test_degree_histogram_buckets(spark):
