@@ -558,6 +558,82 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+def _block_edges(spark, sf_dir):
+    """Directed graph on customer keys with a rich SCC structure:
+    vertices group into blocks of 100 (the last block partial); inside
+    a block of size B, row r gets edges to (r+1)%B (ring — strong
+    connectivity) and (2r+1)%B (doubling — small diameter); even
+    blocks additionally send ONE-WAY edges x → x+100 from rows
+    r%10==0. Every block is one SCC; the cross edges form a depth-1
+    DAG between SCCs, so the coloring algorithm settles in exactly two
+    outer rounds at any scale."""
+    cust = _t(spark, sf_dir, "customer")
+    n = cust.count()
+    k = F.col("c_custkey")
+    bs = k - (k % 100)
+    bsz = F.least(F.lit(100), F.lit(n) - bs)
+    r = k % 100
+    e1 = cust.select(k.alias("src"), (bs + F.pmod(r + 1, bsz)).alias("dst"))
+    e2 = cust.select(k.alias("src"), (bs + F.pmod(2 * r + 1, bsz)).alias("dst"))
+    cross = cust.where(
+        ((k - r) % 200 == 0) & (r % 10 == 0) & (k + 100 < n)
+    ).select(k.alias("src"), (k + 100).alias("dst"))
+    return (
+        e1.unionByName(e2)
+        .unionByName(cross)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+_BLOCK_EDGES_SQL = """
+  cn AS (SELECT count(*) AS n FROM customer),
+  base AS (
+    SELECT c_custkey AS x, c_custkey % 100 AS r,
+           c_custkey - (c_custkey % 100) AS bs,
+           least(100, (SELECT n FROM cn) - (c_custkey - (c_custkey % 100))) AS bsz
+    FROM customer
+  ),
+  e AS (
+    SELECT DISTINCT src, dst FROM (
+      SELECT x AS src, bs + ((r+1) % bsz) AS dst FROM base
+      UNION
+      SELECT x AS src, bs + ((2*r+1) % bsz) AS dst FROM base
+      UNION
+      SELECT x AS src, x + 100 AS dst FROM base
+      WHERE (x - r) % 200 = 0 AND r % 10 = 0 AND x + 100 < (SELECT n FROM cn)
+    ) WHERE src <> dst
+  ),
+  bv AS (SELECT src AS vid FROM e UNION SELECT dst AS vid FROM e)
+"""
+
+
+def q_scc(spark, sf_dir):
+    """Strongly connected components via the coloring algorithm
+    (``operators/scc.py:scc``) over the block graph — 15 SCCs of 100
+    linked by a one-way DAG at sf0.01. Oracle: recursive-CTE
+    transitive closure + mutual-reachability min (exact)."""
+    from hoover_spark.operators.scc import scc
+
+    g = Graph(_block_edges(spark, sf_dir))
+    return scc(g).select("vid", "label")
+
+
+def q_sssp_weighted(spark, sf_dir):
+    """Multi-source weighted shortest paths (frontier Bellman–Ford,
+    ``operators/paths.py:sssp``) over the directed customer graph with
+    integer weights w = 1+(src+dst)%5 from the c_custkey%500==0 seed
+    set; exact int64 distances vs a bounded recursive-CTE oracle (the
+    bound 127 sits far above the measured max shortest distance, 43 at
+    sf0.01, so no shortest path is pruned)."""
+    from hoover_spark.operators.paths import sssp
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    seeds = g.vertices().where(F.col("vid") % 500 == 0)
+    w = F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5))
+    return sssp(g, seeds, weight=w)
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs, "doc_id", "text").select(
@@ -1293,6 +1369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_mod5": q_modularity_mod5,
         "harmonic_2hop": q_harmonic_2hop,
         "snapshot_diff": q_snapshot_diff,
+        "scc_labels": q_scc,
+        "sssp_weighted": q_sssp_weighted,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1954,6 +2032,32 @@ j AS (SELECT coalesce(ea.src, eb.src) AS src, coalesce(ea.dst, eb.dst) AS dst,
                   ELSE 'kept' END AS status
       FROM ea FULL OUTER JOIN eb ON ea.src = eb.src AND ea.dst = eb.dst)
 SELECT src, dst, status FROM j
+""",
+        "scc_labels": f"""
+WITH RECURSIVE {_BLOCK_EDGES_SQL},
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst
+),
+mutual AS (
+  SELECT a.src AS v2, a.dst AS w
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+)
+SELECT bv.vid, CAST(least(bv.vid, coalesce(min(m.w), bv.vid)) AS BIGINT) AS label
+FROM bv LEFT JOIN mutual m ON m.v2 = bv.vid
+GROUP BY bv.vid
+""",
+        "sssp_weighted": f"""
+WITH RECURSIVE {_CUSTOMER_EDGES_SQL},
+ew AS (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM e0),
+p(vid, d) AS (
+  SELECT vid, 0 AS d FROM v WHERE vid % 500 = 0
+  UNION
+  SELECT e.dst, p.d + e.w FROM p JOIN ew e ON e.src = p.vid
+  WHERE p.d + e.w <= 127
+)
+SELECT vid, CAST(min(d) AS BIGINT) AS dist FROM p GROUP BY 1
 """,
         "anf_2": f"""
 WITH {_CUSTOMER_EDGES_SQL},

@@ -93,6 +93,88 @@ def bfs_hops(
     return loop.finish(dist.select("vid", "hops"), rounds)
 
 
+def sssp(
+    graph: Graph,
+    seeds: DataFrame,
+    weight=None,
+    loop: IterationLoop | None = None,
+    max_rounds: int = 500,
+) -> DataFrame:
+    """Multi-source weighted shortest paths over the DIRECTED edge
+    list (non-negative weights) — frontier Bellman–Ford, the
+    weighted generalization of :func:`bfs_hops`.
+
+    Returns ``(vid: long, dist: long)`` for every vertex reachable
+    from the seed set (seeds at 0). ``weight`` is a Column expression
+    over the edge columns ``src``/``dst`` (default: every edge costs
+    1); it must be non-negative integer-valued — distances stay exact
+    int64, so the SQL oracle reproduces them bit-for-bit.
+
+    Plan: classic frontier-delta relaxation. Each round joins the
+    *improved-last-round frontier only* against the persisted edge
+    table, takes the per-destination min of candidate distances, and
+    keeps strict improvements — one Spark job per round
+    (``hold_observed``). Rounds are bounded by the weighted-graph
+    "hop radius" (≤ shortest-path hop count from the seed set, times
+    a small factor for re-relaxation); at 10¹² edges each round costs
+    O(|frontier-adjacent edges|), never an O(|E|) pass, and the big
+    edge side keeps the Graph's hash partitioning throughout.
+    Reference analogue: the same dirty-frontier gather loop as the
+    hash-min kernels (``src/hoover.cpp:603-622``) with ``min(dist+w)``
+    as the reduction.
+    """
+    spark = graph.edges.sparkSession
+    loop = loop or IterationLoop(spark, kernel="sssp", max_iterations=max_rounds)
+
+    w = weight if weight is not None else F.lit(1)
+    e = loop.hold(
+        graph.cleaned().select(
+            "src", "dst", w.cast("long").alias("w")
+        )
+    )
+    dist = loop.hold(
+        seeds.select(F.col("vid").cast("long").alias("vid"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    frontier = dist
+
+    watch = StopWatch()
+    rounds = 0
+    for t in range(1, max_rounds + 1):
+        improved = (
+            e.join(
+                frontier.select(F.col("vid").alias("src"), "dist"), on="src"
+            )
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+            .join(dist, on="vid", how="left")
+            .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("vid", F.col("nd").alias("dist"))
+        )
+        improved, stats = loop.hold_observed(
+            improved, F.count(F.lit(1)).alias("n_improved")
+        )
+        n_improved = int(stats["n_improved"] or 0)
+        loop.log(
+            iteration=t,
+            rows_shuffled=n_improved,
+            delta_norm=float(n_improved),
+            frontier_size=n_improved,
+            wall_ms=watch.lap_ms(),
+        )
+        rounds = t
+        if n_improved == 0:
+            break
+        dist = loop.hold(
+            dist.join(improved.select("vid"), on="vid", how="left_anti")
+            .unionByName(improved)
+        )
+        frontier = improved
+
+    return loop.finish(dist.select("vid", "dist"), rounds)
+
+
 def link_predict(
     graph: Graph,
     min_common: int = 1,

@@ -296,6 +296,38 @@ def main():
          plan_of(snapshot_diff(edges.limit(100000), edges)))
     )
 
+    # 17. r5d directed kernels — an scc inner round is one message-min
+    # join + relax join + jump self-join (Catalyst reuses the relaxed
+    # subplan's exchange); an sssp round joins only the improved
+    # frontier against the persisted edge table, then min-combines.
+    from hoover_spark.operators.paths import sssp
+
+    color = verts.select("vid", F.col("vid").alias("color"))
+    msgs = (
+        g.cleaned()
+        .join(color.select(F.col("vid").alias("src"), "color"), on="src")
+        .groupBy(F.col("dst").alias("vid"))
+        .agg(F.min("color").alias("mc"))
+    )
+    relaxed = color.join(msgs, on="vid", how="left").select(
+        "vid",
+        F.col("color").alias("prev"),
+        F.least("color", F.coalesce("mc", "color")).alias("c1"),
+    )
+    scc_round = relaxed.join(
+        relaxed.select(F.col("vid").alias("c1"), F.col("c1").alias("cc")),
+        on="c1",
+        how="left",
+    ).select("vid", F.least("c1", F.coalesce("cc", "c1")).alias("color"))
+    sections.append(
+        ("scc inner round (relax + jump self-join, exchange reuse)",
+         plan_of(scc_round))
+    )
+    sections.append(
+        ("sssp (frontier relax rounds, min-combine)",
+         plan_of(sssp(g, verts.where(F.col("vid") % 500 == 0), max_rounds=2)))
+    )
+
     report = []
     for title, plan in sections:
         checks = {
