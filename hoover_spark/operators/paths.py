@@ -99,6 +99,9 @@ def sssp(
     weight=None,
     loop: IterationLoop | None = None,
     max_rounds: int = 500,
+    initial_dists: DataFrame | None = None,
+    initial_frontier: DataFrame | None = None,
+    track_changes: bool = False,
 ) -> DataFrame:
     """Multi-source weighted shortest paths over the DIRECTED edge
     list (non-negative weights) — frontier Bellman–Ford, the
@@ -122,32 +125,74 @@ def sssp(
     Reference analogue: the same dirty-frontier gather loop as the
     hash-min kernels (``src/hoover.cpp:603-622``) with ``min(dist+w)``
     as the reduction.
+
+    Incremental warm start (the streaming path): edge INSERTIONS only
+    ever lower shortest distances, so relaxation restarted from a
+    converged ``initial_dists`` with ``initial_frontier`` = the
+    distance-bearing src endpoints of the fresh edges converges to the
+    exact new solution — every newly-shorter path uses ≥1 fresh edge,
+    and round 1 relaxes all out-edges of the fresh sources. When
+    ``initial_dists`` is given it must already contain the seed rows
+    (``seeds`` is not re-applied). ``track_changes=True`` publishes
+    ``loop.kernel_state["changed_rows"]`` (one min-dist row per vid
+    improved this run — the O(changed) durable-write set),
+    ``["total_improvements"]`` and ``["n_state_rows"]``.
     """
     spark = graph.edges.sparkSession
     loop = loop or IterationLoop(spark, kernel="sssp", max_iterations=max_rounds)
 
+    # Edge set as a LIST of views (usually one; DeltaGraph yields
+    # persisted base + tiny delta). The relaxation join runs per view
+    # and unions the (frontier-bounded, small) OUTPUTS, so the base
+    # keeps its persisted hash-partitioning — holding a unioned copy
+    # here would re-materialize O(|E|) per call, i.e. per micro-batch
+    # on the streaming path (the r3 scale-killer class).
     w = weight if weight is not None else F.lit(1)
-    e = loop.hold(
-        graph.cleaned().select(
-            "src", "dst", w.cast("long").alias("w")
+    edge_views = [
+        v.select("src", "dst", w.cast("long").alias("w"))
+        for v in graph.clean_edge_views()
+    ]
+
+    def _hold_state(df):
+        """Checkpoint a dist state; the row count rides the same action
+        (free) when change tracking wants it."""
+        if not track_changes:
+            return loop.hold(df)
+        held, s = loop.hold_observed(df, F.count(F.lit(1)).alias("n_rows"))
+        loop.kernel_state["n_state_rows"] = int(s["n_rows"] or 0)
+        return held
+
+    if initial_dists is not None:
+        dist = _hold_state(initial_dists.select("vid", "dist"))
+        frontier = (
+            dist.join(initial_frontier.select("vid"), on="vid", how="left_semi")
+            if initial_frontier is not None
+            else dist
         )
-    )
-    dist = loop.hold(
-        seeds.select(F.col("vid").cast("long").alias("vid"))
-        .distinct()
-        .withColumn("dist", F.lit(0).cast("long"))
-    )
-    frontier = dist
+    else:
+        dist = _hold_state(
+            seeds.select(F.col("vid").cast("long").alias("vid"))
+            .distinct()
+            .withColumn("dist", F.lit(0).cast("long"))
+        )
+        frontier = dist
 
     watch = StopWatch()
     rounds = 0
+    changed_parts: list[DataFrame] = []
+    total_improvements = 0
     for t in range(1, max_rounds + 1):
-        improved = (
-            e.join(
-                frontier.select(F.col("vid").alias("src"), "dist"), on="src"
+        f = frontier.select(F.col("vid").alias("src"), "dist")
+        cand = None
+        for ev in edge_views:
+            p = ev.join(f, on="src").select(
+                F.col("dst").alias("vid"),
+                (F.col("dist") + F.col("w")).alias("nd"),
             )
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+            cand = p if cand is None else cand.unionByName(p)
+        improved = (
+            cand.groupBy("vid")
+            .agg(F.min("nd").alias("nd"))
             .join(dist, on="vid", how="left")
             .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
             .select("vid", F.col("nd").alias("dist"))
@@ -166,11 +211,26 @@ def sssp(
         rounds = t
         if n_improved == 0:
             break
-        dist = loop.hold(
+        total_improvements += n_improved
+        if track_changes:
+            changed_parts.append(improved)
+        dist = _hold_state(
             dist.join(improved.select("vid"), on="vid", how="left_anti")
             .unionByName(improved)
         )
         frontier = improved
+
+    if track_changes:
+        loop.kernel_state["total_improvements"] = total_improvements
+        if changed_parts:
+            ch = changed_parts[0]
+            for p in changed_parts[1:]:
+                ch = ch.unionByName(p)
+            loop.kernel_state["changed_rows"] = ch.groupBy("vid").agg(
+                F.min("dist").alias("dist")
+            )
+        else:
+            loop.kernel_state["changed_rows"] = dist.where(F.lit(False))
 
     return loop.finish(dist.select("vid", "dist"), rounds)
 

@@ -77,6 +77,16 @@ batch-side candidates broadcast against the persisted old adjacency
 (O(|batch|·d̄), the base is never shuffled) — maintaining per-vertex
 counts as the durable state plus a running total in
 ``state_meta.json``.
+
+Incremental SSSP (``kernel="sssp"``, seed set via
+``kernel_kwargs["seed_vids"]``): edge insertions only ever LOWER
+shortest distances, so each batch warm-starts
+:func:`hoover_spark.operators.paths.sssp` from the converged distance
+table with the frontier = the distance-bearing src endpoints of the
+batch's fresh edges — every newly-shorter path uses ≥1 fresh edge, so
+re-relaxation from exactly those sources is exact. The durable write
+is the batch's improved rows only (``changed_rows``), O(changed); a
+batch whose fresh edges improve nothing skips the write entirely.
 """
 
 from __future__ import annotations
@@ -109,7 +119,7 @@ class IncrementalGraphState:
         snapshot_floor: int = 4096,
         confirm_buckets: bool = False,
     ) -> None:
-        assert kernel in ("wcc", "pagerank", "triangles")
+        assert kernel in ("wcc", "pagerank", "triangles", "sssp")
         self.spark = spark
         self.work_dir = work_dir
         self.kernel = kernel
@@ -601,6 +611,39 @@ class IncrementalGraphState:
             self._n_vertices = int(
                 loop.kernel_state.get("n_vertices") or self._n_vertices or 0
             )
+        elif self.kernel == "sssp":
+            from hoover_spark.operators.paths import sssp
+
+            kw = dict(self.kernel_kwargs)
+            seed_vids = kw.pop("seed_vids")
+            seeds = self.spark.createDataFrame(
+                [(int(v),) for v in seed_vids], "vid long"
+            )
+            if prev is not None:
+                # frontier = fresh-edge sources that already carry a
+                # distance (an unreached source relaxes nothing yet; it
+                # re-enters the frontier the round it is reached)
+                frontier = fresh.select(F.col("src").alias("vid")).distinct()
+                state = sssp(
+                    graph,
+                    seeds,
+                    loop=loop,
+                    initial_dists=prev.select("vid", "dist"),
+                    initial_frontier=frontier,
+                    track_changes=True,
+                    **kw,
+                )
+                changed = loop.kernel_state["changed_rows"]
+            else:
+                state = sssp(graph, seeds, loop=loop, track_changes=True, **kw)
+                changed = None
+            # bookkeeping count = state rows (reached vids), the
+            # quantity the snapshot threshold scales with
+            self._n_vertices = int(
+                loop.kernel_state.get("n_state_rows")
+                or self._n_vertices
+                or 0
+            )
         else:
             warm = None
             n_vertices = None
@@ -639,7 +682,18 @@ class IncrementalGraphState:
         # in-memory state stays the kernel's localCheckpoint-backed,
         # vid-partitioned output (no per-batch parquet re-read)
         self._state = state
-        self._persist_state(state, changed)
+        if (
+            self.kernel == "sssp"
+            and changed is not None
+            and int(loop.kernel_state.get("total_improvements") or 0) == 0
+        ):
+            # fresh edges opened no shorter path: skip the durable
+            # write entirely (triangles-style "mode: none")
+            self._seq += 1
+            self.last_state_write = {"mode": "none", "rows": 0}
+            self._write_state_meta()
+        else:
+            self._persist_state(state, changed)
         if graph is not self._base:
             graph.unpersist()  # composite's own cache only; base persists
         self.batches_applied += 1

@@ -451,6 +451,94 @@ def test_triangles_stream_resume(spark, tmp_path):
     e.unpersist()
 
 
+def test_sssp_stream_equals_batch(spark, tmp_path):
+    """Incremental SSSP: edge insertions only ever LOWER shortest
+    distances, so each batch warm-starts relaxation from the converged
+    distance table with the fresh-edge sources as frontier — the
+    stream-converged state must equal a cold batch run over the same
+    final edge set."""
+    from hoover_spark.operators.paths import sssp
+
+    g = rmat_graph(spark, scale=7, edge_factor=4)
+    vs = sorted(r["vid"] for r in g.vertices().collect())
+    seed_vids = [vs[0], vs[-1]]
+    drops = str(tmp_path / "drops")
+    os.makedirs(drops)
+    _write_drops(spark, g, drops, k=4)
+
+    state = run_stream(
+        spark, drops, str(tmp_path / "work"), kernel="sssp",
+        num_partitions=8, kernel_kwargs={"seed_vids": seed_vids},
+    )
+    assert state.batches_applied == 4
+    seeds = spark.createDataFrame([(v,) for v in seed_vids], "vid long")
+    got = {r["vid"]: r["dist"] for r in state.state().collect()}
+    want = {r["vid"]: r["dist"] for r in sssp(g, seeds).collect()}
+    assert got == want
+
+
+def test_sssp_state_write_o_changed_and_resume(spark, tmp_path):
+    """Per-batch durable SSSP writes are O(improved rows): a batch whose
+    fresh edges open no shorter path skips the write entirely; a
+    shortcut edge writes only the vertices whose distance dropped; and
+    snapshot + delta replay reproduces the live state after restart."""
+    from hoover_spark.operators.paths import sssp
+    from hoover_spark.streaming.ingest import IncrementalGraphState
+
+    big = rmat_graph(spark, scale=7, edge_factor=4).cleaned()
+    seed = min(r["vid"] for r in Graph(big).vertices().collect())
+    work = str(tmp_path / "work")
+    st = IncrementalGraphState(
+        spark, work, kernel="sssp", num_partitions=8, n_buckets=16,
+        kernel_kwargs={"seed_vids": [seed]},
+    )
+    st.apply_batch(big, 0)
+    assert st.state_snapshot_writes == 1             # cold start: full write
+    n_reached = st._n_vertices
+    assert n_reached > 10
+    dist0 = {r["vid"]: r["dist"] for r in st.state().collect()}
+    assert max(dist0.values()) >= 2                  # shortcut below must help
+
+    # a brand-new unreached island: no distance improves → the durable
+    # write is skipped entirely (mode: none)
+    iso = spark.createDataFrame(
+        [(40_000_000, 40_000_001)], "src long, dst long"
+    )
+    st.apply_batch(iso, 1)
+    assert st.last_state_write == {"mode": "none", "rows": 0}
+    assert st.state_delta_writes == 0
+
+    # a seed→far shortcut: only the vertices whose distance actually
+    # dropped are written (far below an O(|reached|) rewrite)
+    far = max((d, v) for v, d in dist0.items())[1]
+    st.apply_batch(
+        spark.createDataFrame([(seed, far)], "src long, dst long"), 2
+    )
+    w = st.last_state_write
+    assert w["mode"] == "delta", w
+    assert 1 <= w["rows"] < n_reached / 2, (w, n_reached)
+    dist1 = {r["vid"]: r["dist"] for r in st.state().collect()}
+    assert dist1[far] == 1
+
+    # resume: snapshot + sequenced-delta replay reproduces live state
+    resumed = IncrementalGraphState(
+        spark, work, kernel="sssp", num_partitions=8, n_buckets=16,
+        kernel_kwargs={"seed_vids": [seed]},
+    )
+    got = {r["vid"]: r["dist"] for r in resumed.state().collect()}
+    assert got == dist1
+
+    # and the stream-accumulated answer equals a cold batch run over
+    # the final durable edge store
+    full = Graph(
+        spark.read.parquet(os.path.join(work, "edges")).select("src", "dst"),
+        num_partitions=8,
+    )
+    seeds = spark.createDataFrame([(seed,)], "vid long")
+    want = {r["vid"]: r["dist"] for r in sssp(full, seeds).collect()}
+    assert dist1 == want
+
+
 def test_wcc_stream_pre_contract_kwargs(spark, tmp_path):
     """kernel_kwargs carries pre_contract(+levels) through the streaming
     warm path: the label-aware contraction composes with the per-batch
