@@ -634,6 +634,19 @@ def q_sssp_weighted(spark, sf_dir):
     return sssp(g, seeds, weight=w)
 
 
+def q_mis(spark, sf_dir):
+    """Luby's maximal independent set (``operators/mis.py:luby_mis``)
+    over the symmetrized customer graph. The deterministic LCG
+    priority is injective below 10^9+7, so the unrolled DuckDB oracle
+    (:func:`_mis_sql`) can compare plain MIN(prio) where the kernel
+    compares (prio, vid) structs — identical outcomes at any sf whose
+    vids stay under the modulus."""
+    from hoover_spark.operators.mis import luby_mis
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return luby_mis(g)
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs, "doc_id", "text").select(
@@ -1371,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "scc_labels": q_scc,
         "sssp_weighted": q_sssp_weighted,
+        "mis_luby": q_mis,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1594,6 +1608,41 @@ a{r} AS MATERIALIZED (SELECT src, dst, sup FROM sup{r} WHERE sup >= {k - 2})""")
 WITH {_CIRCULANT_EDGES_SQL},
 {','.join(ctes)}
 SELECT src, dst, sup AS support FROM a{rounds}
+"""
+
+
+def _mis_sql(rounds: int = 12) -> str:
+    """Unrolled Luby MIS on the customer graph. Each round: winners =
+    active vertices whose LCG priority is strictly below every active
+    neighbor's MIN priority (injective prio ⇒ identical to the
+    kernel's (prio, vid) struct-min, see :func:`q_mis`); winners and
+    their active neighbors leave. Rounds past the fixpoint are empty
+    selects — no-ops — so over-unrolling is safe (sf0.01 converges in
+    4 rounds; 12 leaves 3x margin). MATERIALIZED for the same
+    2^rounds re-inlining reason as :func:`_kcore_sql`."""
+    ctes = [
+        "a0 AS MATERIALIZED (SELECT vid, (vid*40503 + 12345) % 1000000007"
+        " AS prio FROM v)"
+    ]
+    finals = []
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+n{r} AS (SELECT s.src AS vid, min(y.prio) AS mp
+         FROM sym s JOIN a{r - 1} x ON s.src = x.vid
+                    JOIN a{r - 1} y ON s.dst = y.vid GROUP BY 1),
+w{r} AS MATERIALIZED (SELECT a.vid FROM a{r - 1} a LEFT JOIN n{r} ON a.vid = n{r}.vid
+        WHERE n{r}.mp IS NULL OR a.prio < n{r}.mp),
+r{r} AS (SELECT DISTINCT s.src AS vid FROM sym s JOIN w{r} ON s.dst = w{r}.vid),
+a{r} AS MATERIALIZED (SELECT vid, prio FROM a{r - 1}
+        WHERE vid NOT IN (SELECT vid FROM w{r})
+          AND vid NOT IN (SELECT vid FROM r{r}))""")
+        finals.append(
+            f"SELECT vid, CAST({r} AS BIGINT) AS mis_round FROM w{r}"
+        )
+    return f"""
+WITH {_CUSTOMER_EDGES_SQL},
+{','.join(ctes)}
+{' UNION ALL '.join(finals)}
 """
 
 
@@ -2059,6 +2108,7 @@ p(vid, d) AS (
 )
 SELECT vid, CAST(min(d) AS BIGINT) AS dist FROM p GROUP BY 1
 """,
+        "mis_luby": _mis_sql(),
         "anf_2": f"""
 WITH {_CUSTOMER_EDGES_SQL},
 p AS (SELECT vid AS src, vid AS dst FROM v
