@@ -647,6 +647,42 @@ def q_mis(spark, sf_dir):
     return luby_mis(g)
 
 
+def q_matching(spark, sf_dir):
+    """Luby-style maximal matching (``operators/matching.py``) over
+    the canonical customer graph; the oracle replays the exact
+    (prio, src, dst) tuple comparison, so collisions are handled
+    identically on both engines (sf0.01 converges in 7 rounds; the
+    oracle unrolls 16)."""
+    from hoover_spark.operators.matching import luby_matching
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return luby_matching(g)
+
+
+def q_coloring(spark, sf_dir):
+    """Greedy parallel coloring by iterated local minima
+    (``operators/mis.py:greedy_coloring``); color = winning round.
+    sf0.01 colors in 10 rounds; the oracle unrolls 20 (rounds past
+    the fixpoint are empty no-ops)."""
+    from hoover_spark.operators.mis import greedy_coloring
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return greedy_coloring(g)
+
+
+def q_edge_jaccard(spark, sf_dir):
+    """Per-edge neighborhood Jaccard
+    (``operators/triangles.py:edge_jaccard``): exact int64
+    common/union counts, one double division rounded on both sides."""
+    from hoover_spark.operators.triangles import edge_jaccard
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return edge_jaccard(g).select(
+        "src", "dst", "common", "union_size",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs, "doc_id", "text").select(
@@ -1385,6 +1421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_labels": q_scc,
         "sssp_weighted": q_sssp_weighted,
         "mis_luby": q_mis,
+        "matching_luby": q_matching,
+        "coloring_greedy": q_coloring,
+        "edge_jaccard": q_edge_jaccard,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1643,6 +1682,89 @@ a{r} AS MATERIALIZED (SELECT vid, prio FROM a{r - 1}
 WITH {_CUSTOMER_EDGES_SQL},
 {','.join(ctes)}
 {' UNION ALL '.join(finals)}
+"""
+
+
+def _matching_sql(rounds: int = 16) -> str:
+    """Unrolled Luby maximal matching on the canonical customer graph.
+    Winner test = NOT EXISTS adjacent active edge with a smaller
+    (prio, src, dst) tuple — row-value comparison, identical semantics
+    to the kernel's struct-min-at-both-endpoints formulation (an edge
+    is below every adjacent edge iff it is the min at both of its
+    endpoints). Rounds past the fixpoint are empty no-ops (sf0.01
+    converges in 7; 16 leaves >2x margin). MATERIALIZED for the
+    2^rounds re-inlining reason of :func:`_kcore_sql`."""
+    ctes = [
+        "canon AS (SELECT DISTINCT least(src, dst) AS src,"
+        " greatest(src, dst) AS dst FROM e0)",
+        "a0 AS MATERIALIZED (SELECT src, dst,"
+        " ((src*40503 + dst) % 1000000007 * 40503 + 12345) % 1000000007"
+        " AS prio FROM canon)",
+    ]
+    finals = []
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+w{r} AS MATERIALIZED (SELECT e.src, e.dst FROM a{r - 1} e
+        WHERE NOT EXISTS (SELECT 1 FROM a{r - 1} f
+          WHERE (f.src, f.dst) <> (e.src, e.dst)
+            AND (f.src IN (e.src, e.dst) OR f.dst IN (e.src, e.dst))
+            AND (f.prio, f.src, f.dst) < (e.prio, e.src, e.dst))),
+mv{r} AS (SELECT src AS vid FROM w{r} UNION SELECT dst AS vid FROM w{r}),
+a{r} AS MATERIALIZED (SELECT src, dst, prio FROM a{r - 1}
+        WHERE src NOT IN (SELECT vid FROM mv{r})
+          AND dst NOT IN (SELECT vid FROM mv{r}))""")
+        finals.append(
+            f"SELECT src, dst, CAST({r} AS BIGINT) AS match_round FROM w{r}"
+        )
+    return f"""
+WITH {_CUSTOMER_EDGES_SQL},
+{','.join(ctes)}
+{' UNION ALL '.join(finals)}
+"""
+
+
+def _coloring_sql(rounds: int = 20) -> str:
+    """Unrolled greedy parallel coloring on the customer graph — the
+    :func:`_mis_sql` round shape minus the neighbor-removal step
+    (winners leave alone; color = round index). sf0.01 converges in
+    10 rounds; 20 leaves 2x margin, no-op past the fixpoint."""
+    ctes = [
+        "a0 AS MATERIALIZED (SELECT vid, (vid*40503 + 12345) % 1000000007"
+        " AS prio FROM v)"
+    ]
+    finals = []
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+n{r} AS (SELECT s.src AS vid, min(y.prio) AS mp
+         FROM sym s JOIN a{r - 1} x ON s.src = x.vid
+                    JOIN a{r - 1} y ON s.dst = y.vid GROUP BY 1),
+w{r} AS MATERIALIZED (SELECT a.vid FROM a{r - 1} a LEFT JOIN n{r} ON a.vid = n{r}.vid
+        WHERE n{r}.mp IS NULL OR a.prio < n{r}.mp),
+a{r} AS MATERIALIZED (SELECT vid, prio FROM a{r - 1}
+        WHERE vid NOT IN (SELECT vid FROM w{r}))""")
+        finals.append(f"SELECT vid, CAST({r} AS BIGINT) AS color FROM w{r}")
+    return f"""
+WITH {_CUSTOMER_EDGES_SQL},
+{','.join(ctes)}
+{' UNION ALL '.join(finals)}
+"""
+
+
+_EDGE_JACCARD_SQL = """
+canon AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM e0),
+deg AS (SELECT src AS vid, count(*) AS degree FROM sym GROUP BY 1),
+cm AS (SELECT c.src, c.dst, count(*) AS common
+       FROM canon c JOIN sym a ON a.src = c.src
+                    JOIN sym b ON b.src = c.dst AND b.dst = a.dst
+       GROUP BY 1, 2)
+SELECT c.src, c.dst,
+       CAST(coalesce(cm.common, 0) AS BIGINT) AS common,
+       CAST(ds.degree + dd.degree - coalesce(cm.common, 0) AS BIGINT) AS union_size,
+       round(CAST(coalesce(cm.common, 0) AS DOUBLE)
+             / (ds.degree + dd.degree - coalesce(cm.common, 0)), 6) AS jaccard
+FROM canon c JOIN deg ds ON ds.vid = c.src
+             JOIN deg dd ON dd.vid = c.dst
+             LEFT JOIN cm ON cm.src = c.src AND cm.dst = c.dst
 """
 
 
@@ -2109,6 +2231,9 @@ p(vid, d) AS (
 SELECT vid, CAST(min(d) AS BIGINT) AS dist FROM p GROUP BY 1
 """,
         "mis_luby": _mis_sql(),
+        "matching_luby": _matching_sql(),
+        "coloring_greedy": _coloring_sql(),
+        "edge_jaccard": f"WITH {_CUSTOMER_EDGES_SQL},\n{_EDGE_JACCARD_SQL}",
         "anf_2": f"""
 WITH {_CUSTOMER_EDGES_SQL},
 p AS (SELECT vid AS src, vid AS dst FROM v

@@ -154,3 +154,98 @@ def luby_mis(
     return loop.finish(
         state.where(F.col("status") == 1).select("vid", "mis_round"), rounds
     )
+
+
+def greedy_coloring(
+    graph: Graph,
+    loop: IterationLoop | None = None,
+    max_rounds: int = 256,
+) -> DataFrame:
+    """Distance-1 proper coloring by iterated local minima — the
+    classic parallel greedy coloring (Jones & Plassmann 1993's round
+    structure with color = round index). Returns ``(vid: long,
+    color: long)``, colors 1..R.
+
+    Per round, every *uncolored* vertex whose (priority, vid) is
+    strictly below all uncolored neighbors' takes the round index as
+    its color; only the newly colored vertices leave the active set
+    (unlike :func:`luby_mis`, which also retires their neighbors).
+    Two adjacent vertices can never win the same round, so the
+    coloring is proper; round count = the longest strictly-decreasing
+    priority path, O(log n / log log n) w.h.p. for LCG-random
+    priorities (structure-dependent worst case n — same caveat as
+    k-core peel depth).
+
+    Plan shape per round is identical to :func:`luby_mis` (one Spark
+    job, big symmetric side keeps its hash partitioning, the active
+    frontier shrinks every round).
+    """
+    spark = graph.edges.sparkSession
+    loop = loop or IterationLoop(spark, kernel="coloring", max_iterations=max_rounds)
+
+    sym = graph.sym_edges().select("src", "dst")
+    state = loop.hold(
+        graph.vertices().select(
+            "vid",
+            mis_priority(F.col("vid")).alias("prio"),
+            F.lit(0).cast("long").alias("color"),  # 0 = uncolored
+        )
+    )
+
+    watch = StopWatch()
+    rounds = 0
+    for it in range(1, max_rounds + 1):
+        rounds = it
+        act = state.where(F.col("color") == 0).select("vid", "prio")
+        min_nbr = (
+            sym.join(
+                act.select(F.col("vid").alias("src")), on="src"
+            )
+            .join(
+                act.select(F.col("vid").alias("dst"), F.col("prio").alias("p_dst")),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(
+                F.min(
+                    F.struct(F.col("p_dst").alias("p"), F.col("dst").alias("v"))
+                ).alias("mn")
+            )
+        )
+        winners = (
+            act.join(min_nbr, act.vid == min_nbr.src, "left")
+            .where(
+                F.col("mn").isNull()
+                | (F.struct(F.col("prio").alias("p"), F.col("vid").alias("v")) < F.col("mn"))
+            )
+            .select("vid")
+        )
+        stepped = state.join(
+            winners.withColumn("w", F.lit(1)), on="vid", how="left"
+        ).select(
+            "vid",
+            "prio",
+            F.when(F.col("color") != 0, F.col("color"))
+            .when(F.col("w") == 1, F.lit(it).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("color"),
+        )
+        new_state, stats = loop.hold_observed(
+            stepped,
+            F.sum((F.col("color") == 0).cast("long")).alias("n_active"),
+            F.max("color").alias("max_color"),
+        )
+        n_active = int(stats["n_active"] or 0)
+        loop.log(
+            iteration=it,
+            rows_shuffled=n_active,
+            delta_norm=float(n_active),
+            frontier_size=n_active,
+            wall_ms=watch.lap_ms(),
+        )
+        state = new_state
+        if n_active == 0:
+            break
+
+    loop.kernel_state["coloring_rounds"] = rounds
+    return loop.finish(state.select("vid", "color"), rounds)
