@@ -43,10 +43,15 @@ _M_B = 12345
 
 def edge_priority(src: Column, dst: Column) -> Column:
     """Deterministic per-edge priority, exact in int64 on any engine:
-    ``((src·40503 + dst) mod p · 40503 + 12345) mod p``. The inner mod
-    keeps every intermediate below 2^63 for vids up to 2^31."""
-    h1 = (src.cast("long") * _M_A + dst.cast("long")) % MATCH_P
-    return (h1 * _M_A + _M_B) % MATCH_P
+    ``((src·40503 + dst) mod p · 40503 + 12345) mod p`` — with src and
+    dst pre-reduced mod p (identity below p, so the oracle may write
+    the unreduced form) to keep every intermediate below 2^46 for ANY
+    int64 vid, including negative 64-bit hash ids (pmod, not %)."""
+    p = F.lit(MATCH_P)
+    h1 = F.pmod(
+        F.pmod(src.cast("long"), p) * _M_A + F.pmod(dst.cast("long"), p), p
+    )
+    return F.pmod(h1 * _M_A + _M_B, p)
 
 
 def _key() -> Column:

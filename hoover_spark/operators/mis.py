@@ -51,8 +51,12 @@ _MIS_B = 12345
 
 def mis_priority(col: Column) -> Column:
     """Deterministic per-vertex priority, exact in int64 on any engine:
-    ``(vid·40503 + 12345) mod (10^9+7)`` — injective for vid < 10^9+7."""
-    return (col.cast("long") * _MIS_A + _MIS_B) % MIS_P
+    ``((vid mod p)·40503 + 12345) mod p`` with p = 10^9+7 — injective
+    for vid < p (where the inner pmod is the identity, so the oracle
+    may write the unreduced form); the inner ``pmod`` keeps the
+    product below 2^46 for ANY int64 vid, including negative 64-bit
+    hash ids (pmod, not %, so the sign never flips the result)."""
+    return F.pmod(F.pmod(col.cast("long"), F.lit(MIS_P)) * _MIS_A + _MIS_B, F.lit(MIS_P))
 
 
 def luby_mis(

@@ -328,6 +328,32 @@ def main():
          plan_of(sssp(g, verts.where(F.col("vid") % 500 == 0), max_rounds=2)))
     )
 
+    # 18. r5e independence kernels — a mis/coloring round is two
+    # frontier joins against the persisted symmetric table + one
+    # struct-min groupBy; matching's round is an endpoint-exploded
+    # struct-min agg joined back twice; jaccard is the oriented
+    # k-truss support join + two degree joins.
+    from hoover_spark.operators.matching import luby_matching
+    from hoover_spark.operators.mis import greedy_coloring, luby_mis
+    from hoover_spark.operators.triangles import edge_jaccard
+
+    sections.append(
+        ("luby_mis (2 rounds: frontier x sym struct-min)",
+         plan_of(luby_mis(g, max_rounds=2)))
+    )
+    sections.append(
+        ("luby_matching (2 rounds: endpoint-exploded struct-min)",
+         plan_of(luby_matching(g, max_rounds=2)))
+    )
+    sections.append(
+        ("greedy_coloring (2 rounds: local-min peel)",
+         plan_of(greedy_coloring(g, max_rounds=2)))
+    )
+    sections.append(
+        ("edge_jaccard (oriented support + degree joins)",
+         plan_of(edge_jaccard(g)))
+    )
+
     report = []
     for title, plan in sections:
         checks = {
