@@ -521,6 +521,31 @@ def q_modularity_mod5(spark, sf_dir):
     )
 
 
+def q_degree_quantiles(spark, sf_dir):
+    """Exact degree-distribution quantiles (Spark ``percentile`` vs
+    DuckDB ``quantile_cont`` — identical linear interpolation, 6 dp
+    rounding both sides; ``operators/graph.py:degree_quantiles``)."""
+    from hoover_spark.operators.graph import degree_quantiles
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return degree_quantiles(g)
+
+
+def q_louvain_move2(spark, sf_dir):
+    """Louvain local-moving phase, 2 synchronous deterministic rounds
+    (``operators/communities.py:louvain_move``): score = remove-then-
+    insert modularity gain scaled by 2m² — int64-exact, ties to the
+    smaller community label. The parallel round structure of
+    distributed Louvain (Que et al. IPDPS'15)."""
+    from hoover_spark.operators.communities import louvain_move
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return louvain_move(g, n_rounds=2).select(
+        F.col("vid").cast("long").alias("vid"),
+        F.col("label").cast("long").alias("community"),
+    )
+
+
 def q_harmonic_2hop(spark, sf_dir):
     """Bounded harmonic centrality hc = n1 + n2/2 over the customer
     graph (``operators/paths.py:harmonic_centrality_2hop``); exact
@@ -824,6 +849,28 @@ def q_cosine_topk(spark, sf_dir):
         .where(F.col("rank") <= 5)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """Deterministic Lloyd k-means over the embeddings table (init = k
+    smallest ids; expanded-dot assignment score rounded 6 dp; 6 dp
+    centroid rounding between rounds — see operators/clustering.py).
+    Beyond-reference training-pipeline operator (build brief): the
+    clustering that buckets SemDeDup's candidate generation."""
+    from hoover_spark.operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=4, assign_rounds=2)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style near-dup pairs (Abbas et al. 2023): pairwise
+    cosine evaluated only WITHIN a k-means cluster — the candidate cap
+    that replaces all-pairs at corpus scale."""
+    from hoover_spark.operators.clustering import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, k=4, assign_rounds=2, tau=0.3)
 
 
 def q_event_hourly(spark, sf_dir):
@@ -1416,6 +1463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_3": q_random_walks_3,
         "anf_2": q_anf_2,
         "modularity_mod5": q_modularity_mod5,
+        "louvain_move2": q_louvain_move2,
+        "degree_quantiles": q_degree_quantiles,
         "harmonic_2hop": q_harmonic_2hop,
         "snapshot_diff": q_snapshot_diff,
         "scc_labels": q_scc,
@@ -1438,6 +1487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "embedding_norms": q_embedding_norms,
         "cosine_topk": q_cosine_topk,
+        "kmeans_assign": q_kmeans_assign,
+        "semantic_dedup": q_semantic_dedup,
         "event_hourly": q_event_hourly,
         "midas_edge_freq": q_midas_edge_freq,
         "sessionize": q_sessionize,
@@ -1868,6 +1919,52 @@ freq AS (
   FROM scored QUALIFY rank <= 3
 )
 """
+
+
+def _louvain_round_sql(prev: str, tag: str) -> str:
+    """One synchronous Louvain move round (twin of
+    ``communities.louvain_move``): needs CTEs ``sym``, ``deg``, ``m1``
+    and the label CTE ``prev``; defines ``l{tag}``."""
+    return f"""dc{tag} AS (SELECT l.label AS c, sum(d.degree) AS dc FROM {prev} l JOIN deg d USING (vid) GROUP BY 1),
+nb{tag} AS (SELECT s.src AS vid, l.label AS c, count(*) AS w FROM sym s JOIN {prev} l ON l.vid = s.dst GROUP BY 1, 2),
+cd{tag} AS (SELECT vid, c, max(w) AS w FROM (
+  SELECT vid, c, w FROM nb{tag} UNION ALL SELECT vid, label AS c, 0 AS w FROM {prev}) GROUP BY 1, 2),
+sc{tag} AS (SELECT cd.vid, cd.c,
+  2*m1.m*cd.w - d.degree*(dc.dc - CASE WHEN cd.c = l.label THEN d.degree ELSE 0 END) AS score
+  FROM cd{tag} cd JOIN {prev} l USING (vid) JOIN deg d USING (vid)
+  JOIN dc{tag} dc ON dc.c = cd.c CROSS JOIN m1),
+l{tag} AS (SELECT vid, c AS label FROM (
+  SELECT vid, c, row_number() OVER (PARTITION BY vid ORDER BY score DESC, c) AS rn FROM sc{tag}) WHERE rn = 1)"""
+
+
+def _kmeans_ctes(k: int = 4, dim: int = 64) -> str:
+    """Unrolled 2-assignment-round Lloyd k-means over ``embeddings`` —
+    the DuckDB twin of ``operators/clustering.py`` (init = k smallest
+    vec_ids; expanded-dot score ``c·c − 2 v·c`` rounded 6 dp with
+    min-cluster tie-break; 6 dp centroid rounding between rounds).
+    Ends at CTE ``a2``: the final ``(vec_id, cluster)`` assignment."""
+
+    def assign(s: int, cent: str) -> str:
+        return f"""s{s} AS (
+  SELECT e.vec_id, c.cluster,
+         round(list_dot_product(c.c, c.c) - 2.0 * list_dot_product(e.v, c.c), 6) AS score
+  FROM e CROSS JOIN {cent} c),
+a{s} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score, cluster) AS rn
+    FROM s{s}) WHERE rn = 1)"""
+
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS c
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})),
+{assign(1, 'c0')},
+u1 AS (SELECT a1.cluster, t.i, round(avg(e.v[t.i + 1]), 6) AS m
+       FROM a1 JOIN e USING (vec_id), UNNEST(range({dim})) AS t(i)
+       GROUP BY 1, 2),
+c1 AS (SELECT c0.cluster, COALESCE(lu.c, c0.c) AS c
+       FROM c0 LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS c FROM u1 GROUP BY cluster) lu USING (cluster)),
+{assign(2, 'c1')}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2424,6 +2521,43 @@ r AS (SELECT query_id, vec_id, cosine,
              row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
       FROM s)
 SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+""",
+        "degree_quantiles": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+deg AS (SELECT src AS vid, count(*) AS degree FROM sym GROUP BY 1),
+q AS (SELECT count(*) AS n_vertices,
+             quantile_cont(degree, [0.25, 0.5, 0.75, 0.9, 0.99]) AS p,
+             max(degree) AS max_degree
+      FROM deg)
+SELECT n_vertices, round(p[1], 6) AS p25, round(p[2], 6) AS p50,
+       round(p[3], 6) AS p75, round(p[4], 6) AS p90, round(p[5], 6) AS p99,
+       CAST(max_degree AS BIGINT) AS max_degree
+FROM q
+""",
+        "louvain_move2": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+deg AS (SELECT src AS vid, count(*) AS degree FROM sym GROUP BY 1),
+m1 AS (SELECT count(*) AS m FROM sym WHERE src < dst),
+l0 AS (SELECT vid, vid AS label FROM v),
+{_louvain_round_sql('l0', '1')},
+{_louvain_round_sql('l1', '2')}
+SELECT CAST(vid AS BIGINT) AS vid, CAST(label AS BIGINT) AS community FROM l2
+""",
+        "kmeans_assign": f"""
+WITH {_kmeans_ctes()}
+SELECT vec_id, cluster FROM a2
+""",
+        "semantic_dedup": f"""
+WITH {_kmeans_ctes()},
+vn AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a2a.cluster,
+         round(list_dot_product(na.u, nb.u), 6) AS cosine
+  FROM a2 a2a JOIN a2 a2b ON a2a.cluster = a2b.cluster AND a2a.vec_id < a2b.vec_id
+  JOIN e a ON a.vec_id = a2a.vec_id JOIN e b ON b.vec_id = a2b.vec_id
+  JOIN vn na ON na.vec_id = a2a.vec_id JOIN vn nb ON nb.vec_id = a2b.vec_id
+)
+SELECT id_a, id_b, cluster, cosine FROM p WHERE cosine >= 0.3
 """,
         "event_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, round(sum(value), 4) AS sum_value

@@ -221,3 +221,96 @@ def modularity(graph: Graph, labels: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("modularity"),
     )
+
+
+def louvain_move(
+    graph: "Graph",
+    n_rounds: int = 2,
+    labels: DataFrame | None = None,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """One-level Louvain local-moving phase — synchronous, deterministic,
+    integer-exact. Returns ``(vid, label)`` after ``n_rounds`` rounds.
+
+    Each round every vertex evaluates moving into each neighboring
+    community ``c`` (and staying). With ``m`` = undirected edge count,
+    ``w(v,c)`` = edges from ``v`` into ``c``, ``D_c`` = degree sum of
+    ``c``, the move score is the standard remove-then-insert modularity
+    gain scaled by the positive constant ``2m²`` so it stays in int64:
+
+        score(v→c) = 2m·w(v,c) − deg_v·(D_c − deg_v·[c = label_v])
+
+    argmax with ties to the smaller community label; all vertices move
+    synchronously (the parallel Louvain round structure of distributed
+    implementations, e.g. Que et al. IPDPS'15 — sequential Louvain's
+    one-at-a-time moves don't exist at cluster scale). Synchronous
+    moves can oscillate on pathological symmetric graphs, which is why
+    this is exposed as a bounded-round operator (run modularity() after
+    each round to monitor; the classic Blondel et al. 2008 phase-2
+    graph contraction is this engine's WCC-style relabel + groupBy).
+
+    Int64 exactness: products are bounded by 2m·max_deg ≤ (2m)², exact
+    while 4m² < 2⁶³ (m < 1.5e9) — same bound as :func:`modularity`;
+    past that scale the score to double (≤1 ulp per 2⁵³, and the
+    argmax only needs relative order within one vertex's candidates).
+
+    Plan shape per round: one groupBy(label) for D_c (|V|-sized), one
+    neighbor-label groupBy for w (map-side combined on the persisted
+    hash(src) edge partitioning), one broadcast of the 1-row m
+    aggregate, one argmax groupBy(vid). No windows over edges, no
+    collect; candidate volume is Σ_v |distinct neighbor labels| ≤ 2m.
+    """
+    sym = graph.sym_edges()
+    deg = graph.degrees()
+    m1 = graph.canonical().agg(F.count(F.lit(1)).alias("m"))
+    lab = (
+        labels.select("vid", "label")
+        if labels is not None
+        else graph.vertices().select("vid", F.col("vid").alias("label"))
+    )
+    for r in range(n_rounds):
+        dc = (
+            lab.join(deg, on="vid")
+            .groupBy("label")
+            .agg(F.sum("degree").alias("dc"))
+            .select(F.col("label").alias("c"), "dc")
+        )
+        nbr = (
+            sym.join(
+                lab.select(F.col("vid").alias("dst"), F.col("label").alias("c")),
+                on="dst",
+            )
+            .groupBy(F.col("src").alias("vid"), "c")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        own = lab.select("vid", F.col("label").alias("c"), F.lit(0).cast("long").alias("w"))
+        cand = (
+            nbr.unionByName(own).groupBy("vid", "c").agg(F.max("w").alias("w"))
+        )
+        scored = (
+            cand.join(lab, on="vid")
+            .join(deg, on="vid", how="left")
+            .withColumn("degree", F.coalesce("degree", F.lit(0)))
+            .join(dc, on="c")
+            .crossJoin(F.broadcast(m1))
+            .select(
+                "vid",
+                "c",
+                (
+                    F.lit(2) * F.col("m") * F.col("w")
+                    - F.col("degree")
+                    * (
+                        F.col("dc")
+                        - F.when(F.col("c") == F.col("label"), F.col("degree")).otherwise(F.lit(0))
+                    )
+                ).alias("score"),
+            )
+        )
+        lab = (
+            scored.groupBy("vid")
+            .agg(F.min(F.struct((-F.col("score")).alias("ns"), F.col("c"))).alias("b"))
+            .select("vid", F.col("b.c").alias("label"))
+        )
+        if (r + 1) % checkpoint_every == 0 and r + 1 < n_rounds:
+            lab = lab.localCheckpoint(eager=True)
+    return lab

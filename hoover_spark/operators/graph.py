@@ -427,3 +427,32 @@ def degree_histogram(graph: Graph) -> DataFrame:
         )
         .select("bucket", "n_vertices", "min_degree", "max_degree")
     )
+
+
+def degree_quantiles(
+    graph: Graph, probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> DataFrame:
+    """Exact degree-distribution quantiles: ONE row
+    ``(n_vertices, p25, …, max_degree)`` via Spark's exact
+    ``percentile`` aggregate (linear interpolation — verified to
+    produce bit-identical doubles to DuckDB's ``quantile_cont``,
+    rounded 6 dp for the contract).
+
+    Scale note: exact ``percentile`` keeps a per-partition counts map
+    of DISTINCT degree values — fine for degree data (≤ ~2⁴⁰ distinct
+    values is impossible; real graphs have ≤ ~10⁵ distinct degrees so
+    the partial state is tiny even at 10¹² edges). For arbitrary
+    high-cardinality columns swap in ``approx_percentile`` (KLL
+    sketch) — same one-row plan shape.
+    """
+    arr = ", ".join(f"{p}D" for p in probs)
+    agg = graph.degrees().agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.expr(f"percentile(degree, array({arr}))").alias("p"),
+        F.max("degree").cast("long").alias("max_degree"),
+    )
+    cols = [
+        F.round(F.col("p")[i], 6).alias(f"p{round(p * 100)}")
+        for i, p in enumerate(probs)
+    ]
+    return agg.select("n_vertices", *cols, "max_degree")

@@ -161,3 +161,19 @@ def test_dup_shingle_stats_vs_oracle(spark):
     assert got[1][2] == 1.0 and got[4][2] == 1.0
     assert got[3][2] == 0.0
     assert got[5] == (0, 0, 0.0)
+
+
+def test_degree_quantiles_matches_numpy(spark):
+    import numpy as np
+
+    from hoover_spark.operators.graph import degree_quantiles
+    from hoover_spark.sources.synthetic import rmat_graph
+
+    g = rmat_graph(spark, scale=7, edge_factor=6)
+    row = degree_quantiles(g).collect()[0]
+    degs = np.array([r["degree"] for r in g.degrees().collect()])
+    assert row["n_vertices"] == len(degs)
+    assert row["max_degree"] == int(degs.max())
+    for p in (25, 50, 75, 90, 99):
+        want = round(float(np.percentile(degs, p)), 6)
+        assert row[f"p{p}"] == pytest.approx(want, abs=2e-6), f"p{p}"
