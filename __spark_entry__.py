@@ -546,6 +546,20 @@ def q_louvain_move2(spark, sf_dir):
     )
 
 
+def q_louvain_2level(spark, sf_dir):
+    """Multi-level Louvain (Blondel et al. 2008), 2 levels × 2
+    synchronous weighted move rounds with community contraction between
+    levels (``operators/communities.py:louvain_levels``) — int64-exact
+    weighted scores, so the unrolled DuckDB twin is hash-exact."""
+    from hoover_spark.operators.communities import louvain_levels
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return louvain_levels(g, n_levels=2, n_rounds=2).select(
+        F.col("vid").cast("long").alias("vid"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
 def q_harmonic_2hop(spark, sf_dir):
     """Bounded harmonic centrality hc = n1 + n2/2 over the customer
     graph (``operators/paths.py:harmonic_centrality_2hop``); exact
@@ -1465,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_mod5": q_modularity_mod5,
         "louvain_move2": q_louvain_move2,
         "degree_quantiles": q_degree_quantiles,
+        "louvain_2level": q_louvain_2level,
         "harmonic_2hop": q_harmonic_2hop,
         "snapshot_diff": q_snapshot_diff,
         "scc_labels": q_scc,
@@ -1935,6 +1950,39 @@ sc{tag} AS (SELECT cd.vid, cd.c,
   JOIN dc{tag} dc ON dc.c = cd.c CROSS JOIN m1),
 l{tag} AS (SELECT vid, c AS label FROM (
   SELECT vid, c, row_number() OVER (PARTITION BY vid ORDER BY score DESC, c) AS rn FROM sc{tag}) WHERE rn = 1)"""
+
+
+def _wlouvain_level_sql(lv: int, wa_def: str, n_rounds: int = 2) -> str:
+    """One weighted Louvain level (twin of
+    ``communities.louvain_levels``): defines ``wa{lv}`` from
+    ``wa_def``, weighted degrees ``k{lv}``, total ``s{lv}``, labels
+    ``l{lv}_0`` … ``l{lv}_{n_rounds}``. Self-loops carry doubled
+    weight and are excluded from move scores."""
+    # MATERIALIZED: DuckDB inlines plain CTEs at every reference, and
+    # the two-level unroll references wa/label CTEs enough times that
+    # the inlined plan re-opens the parquet past the fd limit.
+    parts = [
+        f"wa{lv} AS MATERIALIZED ({wa_def})",
+        f"k{lv} AS MATERIALIZED (SELECT src AS vid, sum(w) AS k FROM wa{lv} GROUP BY 1)",
+        f"s{lv} AS (SELECT sum(k) AS S FROM k{lv})",
+        f"l{lv}_0 AS (SELECT vid, vid AS label FROM k{lv})",
+    ]
+    for r in range(1, n_rounds + 1):
+        prev = f"l{lv}_{r - 1}"
+        parts.append(
+            f"""dc{lv}_{r} AS (SELECT l.label AS c, sum(k.k) AS dc FROM {prev} l JOIN k{lv} k USING (vid) GROUP BY 1),
+nb{lv}_{r} AS (SELECT w.src AS vid, l.label AS c, sum(w.w) AS wc
+  FROM wa{lv} w JOIN {prev} l ON l.vid = w.dst WHERE w.src <> w.dst GROUP BY 1, 2),
+cd{lv}_{r} AS (SELECT vid, c, max(wc) AS wc FROM (
+  SELECT vid, c, wc FROM nb{lv}_{r} UNION ALL SELECT vid, label AS c, 0 AS wc FROM {prev}) GROUP BY 1, 2),
+sc{lv}_{r} AS (SELECT cd.vid, cd.c,
+  s{lv}.S*cd.wc - k.k*(dc.dc - CASE WHEN cd.c = l.label THEN k.k ELSE 0 END) AS score
+  FROM cd{lv}_{r} cd JOIN {prev} l USING (vid) JOIN k{lv} k USING (vid)
+  JOIN dc{lv}_{r} dc ON dc.c = cd.c CROSS JOIN s{lv}),
+l{lv}_{r} AS MATERIALIZED (SELECT vid, c AS label FROM (
+  SELECT vid, c, row_number() OVER (PARTITION BY vid ORDER BY score DESC, c) AS rn FROM sc{lv}_{r}) WHERE rn = 1)"""
+        )
+    return ",\n".join(parts)
 
 
 def _kmeans_ctes(k: int = 4, dim: int = 64) -> str:
@@ -2542,6 +2590,13 @@ l0 AS (SELECT vid, vid AS label FROM v),
 {_louvain_round_sql('l0', '1')},
 {_louvain_round_sql('l1', '2')}
 SELECT CAST(vid AS BIGINT) AS vid, CAST(label AS BIGINT) AS community FROM l2
+""",
+        "louvain_2level": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+{_wlouvain_level_sql(1, "SELECT src, dst, CAST(1 AS BIGINT) AS w FROM sym")},
+{_wlouvain_level_sql(2, "SELECT la.label AS src, lb.label AS dst, sum(w.w) AS w FROM wa1 w JOIN l1_2 la ON la.vid = w.src JOIN l1_2 lb ON lb.vid = w.dst GROUP BY 1, 2")}
+SELECT CAST(m0.vid AS BIGINT) AS vid, CAST(m1.label AS BIGINT) AS community
+FROM l1_2 m0 JOIN l2_2 m1 ON m1.vid = m0.label
 """,
         "kmeans_assign": f"""
 WITH {_kmeans_ctes()}

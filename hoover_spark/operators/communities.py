@@ -314,3 +314,127 @@ def louvain_move(
         if (r + 1) % checkpoint_every == 0 and r + 1 < n_rounds:
             lab = lab.localCheckpoint(eager=True)
     return lab
+
+
+def _weighted_move_rounds(
+    wall: DataFrame, n_rounds: int
+) -> DataFrame:
+    """Synchronous Louvain move rounds on a weighted symmetric edge
+    list ``(src, dst, w)`` that INCLUDES self-loops under the doubled
+    convention (a self-loop row carries twice its undirected weight, so
+    ``k_v = Σ_{(v,·)} w`` is the standard weighted degree). Labels
+    start at vid. Score, with ``S = Σ_v k_v = 2m``:
+
+        score(v→c) = S·w(v,c) − k_v·(Σtot(c) − k_v·[c = label_v])
+
+    ``w(v,c)`` excludes self-loops (they move with the vertex — a
+    candidate-constant). Int64-exact, ties → smaller label; unit
+    weights reduce to :func:`louvain_move`'s score exactly.
+    """
+    k = wall.groupBy(F.col("src").alias("vid")).agg(F.sum("w").alias("k"))
+    s1 = k.agg(F.sum("k").alias("S"))
+    lab = k.select("vid", F.col("vid").alias("label"))
+    nself = wall.where(F.col("src") != F.col("dst"))
+    for _ in range(n_rounds):
+        dc = (
+            lab.join(k, on="vid")
+            .groupBy("label")
+            .agg(F.sum("k").alias("dc"))
+            .select(F.col("label").alias("c"), "dc")
+        )
+        nbr = (
+            nself.join(
+                lab.select(F.col("vid").alias("dst"), F.col("label").alias("c")),
+                on="dst",
+            )
+            .groupBy(F.col("src").alias("vid"), "c")
+            .agg(F.sum("w").alias("wc"))
+        )
+        own = lab.select("vid", F.col("label").alias("c"), F.lit(0).cast("long").alias("wc"))
+        cand = nbr.unionByName(own).groupBy("vid", "c").agg(F.max("wc").alias("wc"))
+        scored = (
+            cand.join(lab, on="vid")
+            .join(k, on="vid")
+            .join(dc, on="c")
+            .crossJoin(F.broadcast(s1))
+            .select(
+                "vid",
+                "c",
+                (
+                    F.col("S") * F.col("wc")
+                    - F.col("k")
+                    * (
+                        F.col("dc")
+                        - F.when(F.col("c") == F.col("label"), F.col("k")).otherwise(F.lit(0))
+                    )
+                ).alias("score"),
+            )
+        )
+        lab = (
+            scored.groupBy("vid")
+            .agg(F.min(F.struct((-F.col("score")).alias("ns"), F.col("c"))).alias("b"))
+            .select("vid", F.col("b.c").alias("label"))
+        )
+    return lab
+
+
+def louvain_levels(
+    graph: "Graph", n_levels: int = 2, n_rounds: int = 2
+) -> DataFrame:
+    """Multi-level Louvain (Blondel et al. 2008, "Fast unfolding of
+    communities in large networks"), deterministic/parallel variant:
+    each level runs ``n_rounds`` synchronous weighted move rounds
+    (:func:`_weighted_move_rounds`), then contracts communities to
+    super-vertices — relabel both endpoints and ``groupBy(src,dst)
+    sum(w)``, self-loops carrying the doubled intra-community weight —
+    and repeats on the contracted weighted graph. Returns
+    ``(vid, community)`` for the ORIGINAL vertices (mappings composed
+    across levels).
+
+    The contraction is the same relabel+groupBy shape as the WCC
+    two-phase contraction; each level's edge list shrinks to
+    O(#communities²) at most, so level cost drops geometrically on
+    community-structured graphs. Everything is int64-exact (unit base
+    weights; contraction sums stay integral), so the 2-level contract
+    query has a hash-exact unrolled DuckDB twin.
+    """
+    wall = graph.sym_edges().select("src", "dst", F.lit(1).cast("long").alias("w"))
+    mapping = None  # orig vid -> current-level label
+    for lvl in range(n_levels):
+        lab = _weighted_move_rounds(wall, n_rounds)
+        mapping = (
+            lab
+            if mapping is None
+            else (
+                mapping.join(
+                    lab.select(F.col("vid").alias("label"), F.col("label").alias("_nl")),
+                    on="label",
+                )
+                .select("vid", F.col("_nl").alias("label"))
+            )
+        )
+        if lvl + 1 < n_levels:
+            wall = (
+                wall.join(
+                    lab.select(F.col("vid").alias("src"), F.col("label").alias("ls")),
+                    on="src",
+                )
+                .join(
+                    lab.select(F.col("vid").alias("dst"), F.col("label").alias("ld")),
+                    on="dst",
+                )
+                .groupBy(F.col("ls").alias("src"), F.col("ld").alias("dst"))
+                .agg(F.sum("w").alias("w"))
+                .localCheckpoint(eager=True)
+            )
+            mapping = mapping.localCheckpoint(eager=True)
+    # vertices whose only incidence is a self-loop never reach
+    # sym_edges (same guard as wcc's pre_contract): singleton community
+    loners = (
+        graph.vertices()
+        .join(mapping.select("vid"), on="vid", how="left_anti")
+        .select("vid", F.col("vid").alias("label"))
+    )
+    return mapping.unionByName(loners).select(
+        "vid", F.col("label").alias("community")
+    )
