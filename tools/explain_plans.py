@@ -354,6 +354,39 @@ def main():
          plan_of(edge_jaccard(g)))
     )
 
+    # 19. r5f clustering/community wave — kmeans assignment must be a
+    # map-only broadcast nested loop over k centroids (no shuffle of
+    # the vector side); its update combines posexplode rows map-side
+    # (HashAggregate x2 on (cluster, pos)); semantic_dedup's pair join
+    # keys on the cluster id (equi-join, AQE-splittable), never
+    # all-pairs; a louvain move round is three label/degree joins + an
+    # argmax groupBy with the 1-row m aggregate broadcast;
+    # degree_quantiles is one global percentile agg with partials.
+    from hoover_spark.operators.clustering import kmeans_assign, semantic_dedup_pairs
+    from hoover_spark.operators.communities import louvain_levels, louvain_move
+    from hoover_spark.operators.graph import degree_quantiles
+
+    sections.append(
+        ("kmeans_assign (broadcast centroids, map-only scoring)",
+         plan_of(kmeans_assign(emb, k=4, assign_rounds=2)))
+    )
+    sections.append(
+        ("semantic_dedup (cluster-bucketed pair join)",
+         plan_of(semantic_dedup_pairs(emb, k=4, assign_rounds=2, tau=0.3)))
+    )
+    sections.append(
+        ("louvain_move (1 round: label joins + argmax groupBy)",
+         plan_of(louvain_move(g, n_rounds=1)))
+    )
+    sections.append(
+        ("louvain_levels (2 weighted levels + contraction)",
+         plan_of(louvain_levels(g, n_levels=2, n_rounds=1)))
+    )
+    sections.append(
+        ("degree_quantiles (single percentile agg)",
+         plan_of(degree_quantiles(g)))
+    )
+
     report = []
     for title, plan in sections:
         checks = {
