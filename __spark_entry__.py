@@ -887,6 +887,26 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup_pairs(emb, k=4, assign_rounds=2, tau=0.3)
 
 
+def q_token_rarity(spark, sf_dir):
+    """Two-pass unigram rarity signals (avg corpus frequency + rare-
+    token fraction) — the transcendental-free perplexity-proxy quality
+    filter (``functions/text.py:token_rarity``)."""
+    from hoover_spark.functions.text import token_rarity
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_rarity(docs, "doc_id", "text", rare_max_freq=2)
+
+
+def q_cooccur_lift(spark, sf_dir):
+    """Market-basket co-occurrence over lineitem order baskets with
+    exact lift = n·c_ab/(c_a·c_b) (un-logged PMI, int64-exact until
+    one division; ``operators/cooccur.py``)."""
+    from hoover_spark.operators.cooccur import cooccurrence_lift
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cooccurrence_lift(li, "l_orderkey", "l_partkey", min_pairs=2)
+
+
 def q_event_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1504,6 +1524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "kmeans_assign": q_kmeans_assign,
         "semantic_dedup": q_semantic_dedup,
+        "token_rarity": q_token_rarity,
+        "cooccur_lift": q_cooccur_lift,
         "event_hourly": q_event_hourly,
         "midas_edge_freq": q_midas_edge_freq,
         "sessionize": q_sessionize,
@@ -2613,6 +2635,31 @@ p AS (
   JOIN vn na ON na.vec_id = a2a.vec_id JOIN vn nb ON nb.vec_id = a2b.vec_id
 )
 SELECT id_a, id_b, cluster, cosine FROM p WHERE cosine >= 0.3
+""",
+        "token_rarity": """
+WITH toks AS (SELECT id, tok FROM (
+    SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents)
+  WHERE tok <> ''),
+freq AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1),
+per AS (SELECT t.id, count(*) AS n_tokens, sum(f.freq) AS fsum,
+               sum(CASE WHEN f.freq <= 2 THEN 1 ELSE 0 END) AS rare
+        FROM toks t JOIN freq f USING (tok) GROUP BY 1)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       COALESCE(round(CAST(p.fsum AS DOUBLE) / p.n_tokens, 6), 0.0) AS avg_freq,
+       COALESCE(round(CAST(p.rare AS DOUBLE) / p.n_tokens, 6), 0.0) AS rare_frac
+FROM documents d LEFT JOIN per p ON p.id = d.doc_id
+""",
+        "cooccur_lift": """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS item FROM lineitem),
+n1 AS (SELECT count(DISTINCT b) AS n FROM bi),
+ic AS (SELECT item, count(*) AS c FROM bi GROUP BY 1),
+pairs AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_pairs
+          FROM bi a JOIN bi b ON a.b = b.b AND a.item < b.item
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT p.item_a, p.item_b, p.n_pairs,
+       round(CAST(n1.n * p.n_pairs AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE), 6) AS lift
+FROM pairs p JOIN ic ca ON ca.item = p.item_a JOIN ic cb ON cb.item = p.item_b CROSS JOIN n1
 """,
         "event_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, round(sum(value), 4) AS sum_value

@@ -522,3 +522,62 @@ def segment_repetition(
         .otherwise(F.lit(0.0))
         .alias("mean_seg_chars"),
     )
+
+
+def token_rarity(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    rare_max_freq: int = 2,
+) -> DataFrame:
+    """Corpus-frequency rarity signals per document — the two-pass
+    unigram statistic behind perplexity-proxy quality filters (rare
+    tokens ≈ high surprisal), kept transcendental-free so the DuckDB
+    twin is hash-exact: instead of Σ log p(tok) it reports
+
+    - ``n_tokens`` — whitespace token count,
+    - ``avg_freq`` — mean corpus frequency of the document's tokens
+      (low = the document is made of rare vocabulary),
+    - ``rare_frac`` — fraction of tokens whose corpus frequency is
+      ≤ ``rare_max_freq`` (the long-tail/noise signal C4-style filters
+      threshold on).
+
+    Plan: one explode → groupBy(tok) builds the frequency table (hash
+    aggregate, map-side combined), one equi-join back on ``tok`` (AQE
+    handles hot stopword keys), one groupBy(id). Exact int64 sums; the
+    two divisions are int64/int64 in double, rounded 6 dp. Documents
+    with zero tokens come back as (0, 0.0, 0.0) via the left join —
+    they never reach the divisions.
+    """
+    toks = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+        .where(F.length("tok") > 0)
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    per = (
+        toks.join(freq, on="tok")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("fsum"),
+            F.sum(
+                F.when(F.col("freq") <= F.lit(rare_max_freq), 1).otherwise(0)
+            ).alias("rare"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.round(F.col("fsum").cast("double") / F.col("n_tokens"), 6),
+                F.lit(0.0),
+            ).alias("avg_freq"),
+            F.coalesce(
+                F.round(F.col("rare").cast("double") / F.col("n_tokens"), 6),
+                F.lit(0.0),
+            ).alias("rare_frac"),
+        )
+    )

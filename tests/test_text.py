@@ -215,3 +215,36 @@ def test_segment_repetition_metrics(spark):
     assert (got[2]["n_segments"], got[2]["dup_fraction"]) == (1, 0.0)
     for d in (3, 4):
         assert (got[d]["n_segments"], got[d]["dup_fraction"]) == (0, 0.0)
+
+
+def test_token_rarity_matches_oracle(spark):
+    from collections import Counter
+
+    from hoover_spark.functions.text import token_rarity
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "zyzzyva qwerty"),
+        (4, ""),
+        (5, "   "),
+        (6, "the the the"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {
+        r["id"]: (r["n_tokens"], r["avg_freq"], r["rare_frac"])
+        for r in token_rarity(df, "doc_id", "text", rare_max_freq=2).collect()
+    }
+    toks = {i: t.split() for i, t in rows}
+    freq = Counter(w for ws in toks.values() for w in ws)
+    want = {}
+    for i, ws in toks.items():
+        if not ws:
+            want[i] = (0, 0.0, 0.0)
+            continue
+        want[i] = (
+            len(ws),
+            round(sum(freq[w] for w in ws) / len(ws), 6),
+            round(sum(1 for w in ws if freq[w] <= 2) / len(ws), 6),
+        )
+    assert got == want
