@@ -521,6 +521,32 @@ def q_modularity_mod5(spark, sf_dir):
     )
 
 
+def q_katz_3(spark, sf_dir):
+    """Katz centrality, 3 bounded rounds (α=1/8, β=1) over the
+    directed customer graph (``operators/centrality.py:katz``) —
+    per-round 6 dp state rounding makes the unrolled twin hash-exact."""
+    from hoover_spark.operators.centrality import katz
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return katz(g, n_iterations=3).select(
+        F.col("vid").cast("long").alias("vid"), "katz"
+    )
+
+
+def q_wpagerank_2(spark, sf_dir):
+    """Weighted PageRank, 2 bounded rounds, deterministic weights
+    w = (src+dst)%5 + 1 — contributions ∝ weight over out-strength,
+    dangling mass redistributed uniformly
+    (``operators/centrality.py:weighted_pagerank``)."""
+    from hoover_spark.operators.centrality import weighted_pagerank
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    w = (F.col("src") + F.col("dst")) % 5 + 1
+    return weighted_pagerank(g, w, n_iterations=2).select(
+        F.col("vid").cast("long").alias("vid"), "rank"
+    )
+
+
 def q_degree_quantiles(spark, sf_dir):
     """Exact degree-distribution quantiles (Spark ``percentile`` vs
     DuckDB ``quantile_cont`` — identical linear interpolation, 6 dp
@@ -1500,6 +1526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_move2": q_louvain_move2,
         "degree_quantiles": q_degree_quantiles,
         "louvain_2level": q_louvain_2level,
+        "katz_3": q_katz_3,
+        "wpagerank_2": q_wpagerank_2,
         "harmonic_2hop": q_harmonic_2hop,
         "snapshot_diff": q_snapshot_diff,
         "scc_labels": q_scc,
@@ -2591,6 +2619,34 @@ r AS (SELECT query_id, vec_id, cosine,
              row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
       FROM s)
 SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+""",
+        "katz_3": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+x0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS x FROM v),
+m1x AS (SELECT e.dst AS vid, sum(x.x) AS s FROM e0 e JOIN x0 x ON x.vid = e.src GROUP BY 1),
+x1 AS (SELECT v.vid, round(0.125 * COALESCE(m.s, CAST(0.0 AS DOUBLE)) + 1.0, 6) AS x FROM v LEFT JOIN m1x m ON m.vid = v.vid),
+m2x AS (SELECT e.dst AS vid, sum(x.x) AS s FROM e0 e JOIN x1 x ON x.vid = e.src GROUP BY 1),
+x2 AS (SELECT v.vid, round(0.125 * COALESCE(m.s, CAST(0.0 AS DOUBLE)) + 1.0, 6) AS x FROM v LEFT JOIN m2x m ON m.vid = v.vid),
+m3x AS (SELECT e.dst AS vid, sum(x.x) AS s FROM e0 e JOIN x2 x ON x.vid = e.src GROUP BY 1),
+x3 AS (SELECT v.vid, round(0.125 * COALESCE(m.s, CAST(0.0 AS DOUBLE)) + 1.0, 6) AS x FROM v LEFT JOIN m3x m ON m.vid = v.vid)
+SELECT CAST(vid AS BIGINT) AS vid, x AS katz FROM x3
+""",
+        "wpagerank_2": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+wts AS (SELECT src, dst, (src + dst) % 5 + 1 AS wt FROM e0),
+st AS (SELECT src, sum(wt) AS s FROM wts GROUP BY 1),
+tr AS (SELECT w.src, w.dst, CAST(w.wt AS DOUBLE) / st.s AS p FROM wts w JOIN st USING (src)),
+n1 AS (SELECT count(*) AS n FROM v),
+r0 AS (SELECT vid, round(1.0 / n1.n, 6) AS rank FROM v CROSS JOIN n1),
+mw1 AS (SELECT t.dst AS vid, sum(r.rank * t.p) AS m FROM tr t JOIN r0 r ON r.vid = t.src GROUP BY 1),
+dg1 AS (SELECT COALESCE(sum(r.rank), 0.0) AS dm FROM r0 r WHERE NOT EXISTS (SELECT 1 FROM st WHERE st.src = r.vid)),
+r1 AS (SELECT v.vid, round((1.0 - 0.85) / n1.n + 0.85 * (COALESCE(m.m, 0.0) + dg.dm / n1.n), 6) AS rank
+       FROM v LEFT JOIN mw1 m ON m.vid = v.vid CROSS JOIN n1 CROSS JOIN dg1 dg),
+mw2 AS (SELECT t.dst AS vid, sum(r.rank * t.p) AS m FROM tr t JOIN r1 r ON r.vid = t.src GROUP BY 1),
+dg2 AS (SELECT COALESCE(sum(r.rank), 0.0) AS dm FROM r1 r WHERE NOT EXISTS (SELECT 1 FROM st WHERE st.src = r.vid)),
+r2 AS (SELECT v.vid, round((1.0 - 0.85) / n1.n + 0.85 * (COALESCE(m.m, 0.0) + dg.dm / n1.n), 6) AS rank
+       FROM v LEFT JOIN mw2 m ON m.vid = v.vid CROSS JOIN n1 CROSS JOIN dg2 dg)
+SELECT CAST(vid AS BIGINT) AS vid, rank FROM r2
 """,
         "degree_quantiles": f"""
 WITH {_CUSTOMER_EDGES_SQL},
