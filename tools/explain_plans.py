@@ -387,6 +387,35 @@ def main():
          plan_of(degree_quantiles(g)))
     )
 
+    # 20. r5g centrality/rarity/co-occurrence — katz & weighted
+    # pagerank rounds must match the pagerank shape (one src join, one
+    # dst-keyed partial/final sum, left join back; weight normalization
+    # folded into the edge side ONCE); token_rarity is explode →
+    # freq groupBy → tok equi-join → id groupBy (all hash aggregates);
+    # cooccurrence pairs join on the BASKET key (bounded by basket
+    # size, not item popularity).
+    from hoover_spark.functions.text import token_rarity
+    from hoover_spark.operators.centrality import katz, weighted_pagerank
+    from hoover_spark.operators.cooccur import cooccurrence_lift
+
+    sections.append(
+        ("katz (1 round: src join + dst sum + left join)",
+         plan_of(katz(g, n_iterations=1)))
+    )
+    sections.append(
+        ("weighted_pagerank (1 round, strength folded edge-side)",
+         plan_of(weighted_pagerank(g, (F.col("src") + F.col("dst")) % 5 + 1, n_iterations=1)))
+    )
+    sections.append(
+        ("token_rarity (freq groupBy + tok join + id groupBy)",
+         plan_of(token_rarity(docs, "doc_id", "text")))
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    sections.append(
+        ("cooccurrence_lift (basket-keyed pair join)",
+         plan_of(cooccurrence_lift(li, "l_orderkey", "l_partkey", min_pairs=2)))
+    )
+
     report = []
     for title, plan in sections:
         checks = {

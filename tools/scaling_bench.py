@@ -366,6 +366,67 @@ print("RESULT " + json.dumps(out), flush=True)
 """
 
 
+# Round-5 triangles row (`addtri16` mode): the last north-star kernel
+# without a first-class scaling row. Same three-config method as
+# addpr16 (the 8→16 step is the criterion evidence; 16→32 states the
+# DRAM flatline). 1 warm + 2 timed per pinned JVM — triangle walls at
+# RMAT-24 are minutes at c8, so the per-JVM budget is tighter than the
+# thin-grain workers (JIT storm lands in the warm rep; the wedge join
+# dominates and is data- not JIT-bound by rep 2).
+WORKER_TRI16 = r"""
+import json, statistics, sys, time
+cores = int(sys.argv[1])
+from hoover_spark.session import get_spark
+spark = get_spark("scaling_tri16", cores=cores, extra_conf={"spark.ui.showConsoleProgress": "false"})
+
+from hoover_spark.operators.graph import Graph
+from hoover_spark.operators.triangles import triangle_count
+
+base = "/dev/shm/scaling_inputs_v3"
+
+def timed2(fn, n_warm=1, n_timed=2):
+    for _ in range(n_warm):
+        fn()
+    walls = []
+    for _ in range(n_timed):
+        t0 = time.perf_counter(); fn()
+        walls.append(time.perf_counter() - t0)
+    return round(statistics.median(walls), 2)
+
+clean = spark.read.parquet(base + "/rmat24_clean")
+g = Graph(clean, num_partitions=4 * cores)
+g._cache["clean_part"] = clean.repartition(4 * cores, "src").persist()
+ne = g.clean_edges().count()
+out = {"triangles_24_c16": {"wall": timed2(lambda: triangle_count(g)), "work": ne}}
+print("RESULT " + json.dumps(out), flush=True)
+"""
+
+
+# Minimal prep for addtri16: only the RMAT-24 edge tables (the full
+# PREP also rebuilds repos + two replicated doc corpora — ~15 min of
+# tmpfs churn the triangles row never reads).
+PREP24 = r"""
+import os
+from hoover_spark.session import get_spark
+from hoover_spark.operators.graph import Graph
+from hoover_spark.sources.synthetic import rmat_graph
+spark = get_spark("scaling_prep24", cores=32, extra_conf={"spark.ui.showConsoleProgress": "false"})
+base = "/dev/shm/scaling_inputs_v3"
+
+def done(name):
+    return os.path.exists(f"{base}/{name}/_SUCCESS")
+
+if not (done("rmat24_sym") and done("rmat24_clean")):
+    rg = rmat_graph(spark, scale=24, edge_factor=8)
+    g = Graph(rg.edges, num_partitions=256)
+    if not done("rmat24_sym"):
+        g.sym_edges().write.mode("overwrite").parquet(base + "/rmat24_sym")
+    if not done("rmat24_clean"):
+        g.clean_edges().write.mode("overwrite").parquet(base + "/rmat24_clean")
+print("PREP_OK", flush=True)
+"""
+
+
 def run(script: str, cores: int, tag: str, pin: bool = True) -> dict | None:
     # Emulate an N-core NODE, not N Spark threads on a 32-core machine:
     # - taskset pins the whole JVM (workers + GC + JIT + netty) to
@@ -394,7 +455,8 @@ def run(script: str, cores: int, tag: str, pin: bool = True) -> dict | None:
 
 WORKLOADS = ("edge_extract", "sha_verify", "pagerank3", "wcc5", "wcc5_24",
              "pagerank3_24", "composite24", "minhash", "minhash_big",
-             "pagerank3_r4", "wcc5_r4", "minhash_big_r4", "pagerank3_24_c16")
+             "pagerank3_r4", "wcc5_r4", "minhash_big_r4", "pagerank3_24_c16",
+             "triangles_24_c16")
 RAW_PATH = "bench_scaling_raw.json"
 
 
@@ -449,7 +511,7 @@ def main():
     else:
         mode = "base"
         argv = sys.argv[1:]
-        if argv and argv[0] in ("add24", "addmh", "add22", "addpr16"):
+        if argv and argv[0] in ("add24", "addmh", "add22", "addpr16", "addtri16"):
             # additions only — merge into the existing raw file
             # (summarize handles reps that carry different workloads)
             mode = argv[0]
@@ -459,10 +521,11 @@ def main():
                 results.update(loaded)
         reps = int(argv[0]) if argv else 3
         worker = {"add24": WORKER24, "addmh": WORKER_MH, "add22": WORKER22,
-                  "addpr16": WORKER_PR16, "base": WORKER}[mode]
-        core_configs = (8, 16, 32) if mode == "addpr16" else (8, 32)
+                  "addpr16": WORKER_PR16, "addtri16": WORKER_TRI16,
+                  "base": WORKER}[mode]
+        core_configs = (8, 16, 32) if mode in ("addpr16", "addtri16") else (8, 32)
         print("preparing inputs ...", flush=True)
-        run(PREP, 32, "prep")
+        run(PREP24 if mode == "addtri16" else PREP, 32, "prep")
         for r in range(reps):
             for cores in core_configs:
                 print(f"rep {r} cores {cores} ...", flush=True)
