@@ -521,6 +521,16 @@ def q_modularity_mod5(spark, sf_dir):
     )
 
 
+def q_four_cycles(spark, sf_dir):
+    """Global 4-cycle (rectangle) count via the wedge-pair identity
+    #C4 = Σ C(w(u,x),2)/2 (``operators/triangles.py:four_cycle_count``)
+    — int64-exact, one wedge self-join + global sum."""
+    from hoover_spark.operators.triangles import four_cycle_count
+
+    g = Graph(_customer_edges(spark, sf_dir))
+    return four_cycle_count(g)
+
+
 def q_katz_3(spark, sf_dir):
     """Katz centrality, 3 bounded rounds (α=1/8, β=1) over the
     directed customer graph (``operators/centrality.py:katz``) —
@@ -1528,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_2level": q_louvain_2level,
         "katz_3": q_katz_3,
         "wpagerank_2": q_wpagerank_2,
+        "four_cycles": q_four_cycles,
         "harmonic_2hop": q_harmonic_2hop,
         "snapshot_diff": q_snapshot_diff,
         "scc_labels": q_scc,
@@ -2619,6 +2630,13 @@ r AS (SELECT query_id, vec_id, cosine,
              row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
       FROM s)
 SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+""",
+        "four_cycles": f"""
+WITH {_CUSTOMER_EDGES_SQL},
+wp AS (SELECT a.dst AS u1, b.dst AS u2, count(*) AS w
+       FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+       GROUP BY 1, 2)
+SELECT CAST(COALESCE(sum(w * (w - 1)), 0) / 4 AS BIGINT) AS n_four_cycles FROM wp
 """,
         "katz_3": f"""
 WITH {_CUSTOMER_EDGES_SQL},

@@ -281,3 +281,52 @@ def edge_jaccard(graph: Graph) -> DataFrame:
             (c.cast("double") / u.cast("double")).alias("jaccard"),
         )
     )
+
+
+def four_cycle_count(graph: Graph, max_center_degree: int | None = None) -> DataFrame:
+    """Count 4-cycles (rectangles) via the wedge-pair identity: if
+    ``w(u,x)`` is the number of common neighbors of the unordered pair
+    ``{u, x}`` (adjacent or not), then
+
+        #C4 = (1/2)·Σ_{u<x} C(w(u,x), 2)
+
+    — every rectangle a–b–c–d has exactly TWO diagonal pairs ({a,c}
+    with centers {b,d} and {b,d} with centers {a,c}), each
+    contributing one center-pair (sanity: K4 → 6 pairs × C(2,2) / 2 =
+    3 four-cycles ✓). Σ w(w−1) is therefore always divisible by 4.
+    Returns one row ``(n_four_cycles,)``, int64-exact.
+
+    Plan: ONE self-join of the symmetric edge list on the wedge center
+    (groupBy the endpoint pair, map-side combined) + a global sum —
+    the same O(Σ_v d_v²) wedge materialization as
+    ``neighborhood_function(h=2)``. Unlike triangles, C4 counting has
+    no degree-orientation trick for the center (both wedge arms hang
+    off ``v``), so the hub guard is an explicit ``max_center_degree``
+    cap — centers above the cap are EXCLUDED (documented truncation in
+    the hot-bucket/GBAD style, for graphs whose d_max² is
+    intractable); None counts exactly.
+    """
+    sym = graph.sym_edges()
+    arms = sym.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    if max_center_degree is not None:
+        ok = (
+            arms.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") <= max_center_degree)
+            .select("v")
+        )
+        arms = arms.join(ok, on="v")
+    a = arms.select("v", F.col("u").alias("u1"))
+    b = arms.select("v", F.col("u").alias("u2"))
+    wedges = (
+        a.join(b, on="v")
+        .where(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return (
+        wedges.agg(
+            F.coalesce(F.sum(F.col("w") * (F.col("w") - 1)), F.lit(0)).alias("s")
+        )
+        .select((F.col("s") / 4).cast("long").alias("n_four_cycles"))
+    )

@@ -177,3 +177,53 @@ def test_degree_quantiles_matches_numpy(spark):
     for p in (25, 50, 75, 90, 99):
         want = round(float(np.percentile(degs, p)), 6)
         assert row[f"p{p}"] == pytest.approx(want, abs=2e-6), f"p{p}"
+
+
+def _c4_oracle(pairs):
+    import itertools
+
+    adj = {}
+    for s, d in pairs:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    verts = sorted(adj)
+    n = 0
+    for u, x in itertools.combinations(verts, 2):
+        w = len(adj[u] & adj[x])
+        n += w * (w - 1) // 2
+    assert n % 2 == 0
+    return n // 2
+
+
+def test_four_cycles_closed_forms(spark):
+    from hoover_spark.operators.triangles import four_cycle_count
+    from hoover_spark.sources.synthetic import (
+        clique_graph,
+        edges_to_pairs,
+        path_graph,
+        rmat_graph,
+    )
+
+    # K4 has 3 rectangles; a path has none; RMAT vs brute force
+    assert four_cycle_count(clique_graph(spark, 4)).collect()[0][0] == 3
+    assert four_cycle_count(path_graph(spark, 8)).collect()[0][0] == 0
+    g = rmat_graph(spark, scale=6, edge_factor=4)
+    want = _c4_oracle(edges_to_pairs(g))
+    assert four_cycle_count(g).collect()[0][0] == want
+
+
+def test_four_cycles_center_cap(spark):
+    from hoover_spark.operators.graph import Graph
+    from hoover_spark.operators.triangles import four_cycle_count
+
+    # star + one rectangle: capping out the star hub keeps the pure
+    # rectangle (whose centers have degree <= 2 after the cap filter)
+    edges = [(0, i) for i in range(1, 8)] + [(10, 11), (11, 12), (12, 13), (13, 10)]
+    g = Graph(spark.createDataFrame(edges, "src long, dst long"), num_partitions=2)
+    full = four_cycle_count(g).collect()[0][0]
+    capped = four_cycle_count(g, max_center_degree=3).collect()[0][0]
+    assert full == 1 and capped == 1
+    # the hub contributes wedge pairs but no C4; cap excluding it must
+    # not change the count here, and never raises it
+    assert capped <= full

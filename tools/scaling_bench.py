@@ -369,10 +369,18 @@ print("RESULT " + json.dumps(out), flush=True)
 # Round-5 triangles row (`addtri16` mode): the last north-star kernel
 # without a first-class scaling row. Same three-config method as
 # addpr16 (the 8→16 step is the criterion evidence; 16→32 states the
-# DRAM flatline). 1 warm + 2 timed per pinned JVM — triangle walls at
-# RMAT-24 are minutes at c8, so the per-JVM budget is tighter than the
-# thin-grain workers (JIT storm lands in the warm rep; the wedge join
-# dominates and is data- not JIT-bound by rep 2).
+# DRAM flatline). 1 warm + 2 timed per pinned JVM. Scale-20, not 24:
+# the closing semi-join must shuffle the WEDGE table (Sigma d_fwd^2
+# rows) by (u, w) — SUPERLINEAR in |E|. Measured on this box: at
+# RMAT-23/24 that shuffle spills >100 GB of local-dir per job (bigger
+# than the 126 GB tmpfs; the pinned JVM dies when /dev/shm fills),
+# and at RMAT-22 a single c8 job exceeds 20 minutes (the 1-hour JVM
+# budget couldn't fit 1 warm + 2 timed). Scale-20 keeps c8 walls at
+# ~250 s — far past the thin-grain floor — and the spill inside
+# tmpfs. The overflow itself is the honest scale finding: triangles
+# is the engine's one kernel whose shuffle grows superlinearly, which
+# is exactly why a real deployment gives it a cluster (per-node NVMe
+# spill, aggregate shuffle fabric) rather than one box.
 WORKER_TRI16 = r"""
 import json, statistics, sys, time
 cores = int(sys.argv[1])
@@ -393,16 +401,18 @@ def timed2(fn, n_warm=1, n_timed=2):
         walls.append(time.perf_counter() - t0)
     return round(statistics.median(walls), 2)
 
-clean = spark.read.parquet(base + "/rmat24_clean")
+clean = spark.read.parquet(base + "/rmat20_clean")
+sym = spark.read.parquet(base + "/rmat20_sym")
 g = Graph(clean, num_partitions=4 * cores)
 g._cache["clean_part"] = clean.repartition(4 * cores, "src").persist()
-ne = g.clean_edges().count()
-out = {"triangles_24_c16": {"wall": timed2(lambda: triangle_count(g)), "work": ne}}
+g._cache["sym_part"] = sym.repartition(4 * cores, "src").persist()
+ne = g.clean_edges().count(); g.sym_edges().count()
+out = {"triangles_20_c16": {"wall": timed2(lambda: triangle_count(g)), "work": ne}}
 print("RESULT " + json.dumps(out), flush=True)
 """
 
 
-# Minimal prep for addtri16: only the RMAT-24 edge tables (the full
+# Minimal prep for addtri16: only the RMAT-20 edge tables (the full
 # PREP also rebuilds repos + two replicated doc corpora — ~15 min of
 # tmpfs churn the triangles row never reads).
 PREP24 = r"""
@@ -416,13 +426,11 @@ base = "/dev/shm/scaling_inputs_v3"
 def done(name):
     return os.path.exists(f"{base}/{name}/_SUCCESS")
 
-if not (done("rmat24_sym") and done("rmat24_clean")):
-    rg = rmat_graph(spark, scale=24, edge_factor=8)
-    g = Graph(rg.edges, num_partitions=256)
-    if not done("rmat24_sym"):
-        g.sym_edges().write.mode("overwrite").parquet(base + "/rmat24_sym")
-    if not done("rmat24_clean"):
-        g.clean_edges().write.mode("overwrite").parquet(base + "/rmat24_clean")
+if not (done("rmat20_clean") and done("rmat20_sym")):
+    rg = rmat_graph(spark, scale=20, edge_factor=8)
+    g = Graph(rg.edges, num_partitions=64)
+    g.clean_edges().write.mode("overwrite").parquet(base + "/rmat20_clean")
+    g.sym_edges().write.mode("overwrite").parquet(base + "/rmat20_sym")
 print("PREP_OK", flush=True)
 """
 
@@ -456,7 +464,7 @@ def run(script: str, cores: int, tag: str, pin: bool = True) -> dict | None:
 WORKLOADS = ("edge_extract", "sha_verify", "pagerank3", "wcc5", "wcc5_24",
              "pagerank3_24", "composite24", "minhash", "minhash_big",
              "pagerank3_r4", "wcc5_r4", "minhash_big_r4", "pagerank3_24_c16",
-             "triangles_24_c16")
+             "triangles_20_c16")
 RAW_PATH = "bench_scaling_raw.json"
 
 
